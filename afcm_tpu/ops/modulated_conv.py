@@ -1,0 +1,122 @@
+"""Per-sample style-modulated convolutions, TPU-shaped.
+
+The reference executes modulated conv as a batch-grouped convolution with
+per-sample materialized weights (reference: networks_stylegan3.py:24-64 and
+CoModGAN/layers.py:19-77).  Grouped convs with ``groups == batch`` map poorly
+onto the MXU; instead we use the mathematically-identical
+"scale-activations" factorization (the reference's own
+``fused_modconv=False`` path, CoModGAN/layers.py:56-65):
+
+    conv(x, w * s[n,i] * d[n,o])  ==  d[n,o] * conv(x * s[n,i], w)
+
+with the demodulation coefficients computed *without* materializing
+per-sample weights, via one [O,I] x [I,N] matmul:
+
+    d[n,o] = rsqrt( sum_{i,k} (w[o,i,k] * s[n,i])^2 + eps )
+           = rsqrt( (sum_k w^2)[o,:] @ (s^2)[n,:] + eps )
+
+This keeps the big conv a single dense MXU op shared across the batch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from . import upfirdn2d as _upfirdn2d
+
+_DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1), ("NCHW", "OIHW", "NCHW"))
+
+
+def conv2d(x, w, padding=0, groups: int = 1, flip_weight: bool = True):
+    """Plain NCHW conv2d (correlation when flip_weight, like torch.conv2d)."""
+    if isinstance(padding, (int, np.integer)):
+        padding = ((int(padding), int(padding)), (int(padding), int(padding)))
+    else:
+        py, px = padding
+        padding = ((int(py), int(py)), (int(px), int(px)))
+    if not flip_weight and (w.shape[2] > 1 or w.shape[3] > 1):
+        w = w[:, :, ::-1, ::-1]
+    return lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(1, 1), padding=padding,
+        dimension_numbers=_DN, feature_group_count=groups)
+
+
+def modulated_conv2d(x, w, s, demodulate: bool = True, padding=0,
+                     input_gain=None):
+    """StyleGAN3-style modulated conv (reference: networks_stylegan3.py:24-64).
+
+    Args:
+      x: [N, I, H, W] input.
+      w: [O, I, kh, kw] weight.
+      s: [N, I] styles.
+      demodulate: apply weight pre-normalization + demodulation.
+      padding: int or (padH, padW).
+      input_gain: optional extra scale on input channels: scalar, [I], or [N, I].
+    """
+    batch = x.shape[0]
+    out_channels, in_channels, kh, kw = w.shape
+    assert s.shape == (batch, in_channels)
+
+    w = w.astype(jnp.float32)
+    s = s.astype(jnp.float32)
+    if demodulate:
+        w = w * jax.lax.rsqrt(jnp.mean(jnp.square(w), axis=(1, 2, 3), keepdims=True))
+        s = s * jax.lax.rsqrt(jnp.mean(jnp.square(s)))
+
+    dcoefs = None
+    if demodulate:
+        w_sq = jnp.sum(jnp.square(w), axis=(2, 3))            # [O, I]
+        denom = jnp.square(s) @ w_sq.T                        # [N, O]
+        dcoefs = jax.lax.rsqrt(denom + 1e-8)
+
+    styles = s
+    if input_gain is not None:
+        input_gain = jnp.broadcast_to(jnp.asarray(input_gain, jnp.float32),
+                                      (batch, in_channels))
+        styles = styles * input_gain
+
+    x = x * styles.astype(x.dtype)[:, :, None, None]
+    x = conv2d(x, w, padding=padding)
+    if demodulate:
+        x = x * dcoefs.astype(x.dtype)[:, :, None, None]
+    return x
+
+
+def modulated_conv2d_resample(x, weight, styles, noise=None, up: int = 1,
+                              down: int = 1, padding: int = 0,
+                              resample_filter=None, demodulate: bool = True,
+                              flip_weight: bool = True):
+    """StyleGAN2-style modulated conv with fused resampling
+    (reference: CoModGAN/layers.py:19-77).
+
+    Uses the scale-activations factorization; `conv2d_resample` provides the
+    up/down FIR plumbing.
+    """
+    from .conv2d_resample import conv2d_resample
+
+    batch = x.shape[0]
+    out_channels, in_channels, kh, kw = weight.shape
+    assert styles.shape == (batch, in_channels)
+
+    weight = weight.astype(jnp.float32)
+    styles = styles.astype(jnp.float32)
+
+    dcoefs = None
+    if demodulate:
+        w_sq = jnp.sum(jnp.square(weight), axis=(2, 3))       # [O, I]
+        denom = jnp.square(styles) @ w_sq.T                   # [N, O]
+        dcoefs = jax.lax.rsqrt(denom + 1e-8)
+
+    x = x * styles.astype(x.dtype)[:, :, None, None]
+    x = conv2d_resample(x, weight, f=resample_filter, up=up, down=down,
+                        padding=padding, flip_weight=flip_weight)
+    if demodulate and noise is not None:
+        x = x * dcoefs.astype(x.dtype)[:, :, None, None] + noise.astype(x.dtype)
+    elif demodulate:
+        x = x * dcoefs.astype(x.dtype)[:, :, None, None]
+    elif noise is not None:
+        x = x + noise.astype(x.dtype)
+    return x
