@@ -1,0 +1,224 @@
+"""Unified conditional-GAN model (CoModGAN / StyleGAN3 branches).
+
+The reference splits this across Pix2PixModel -> CoModGANModel ->
+StyleGAN3Model with eager D/G phases (reference: models/comodgan_model.py,
+models/stylegan3_model.py).  Here the whole iteration — D forward/backward
+(with R1 double-grad), D update, G forward/backward, G update, EMA — is one
+jitted function over a `GANTrainState`, so XLA schedules the entire step as a
+single program resident on device.
+
+Semantics preserved from the reference:
+  * two independent G forwards per step (fresh dropout/noise each phase)
+  * softplus GAN losses, R1 on reals through the blur, blurred L1
+  * Adam(0, 0.99) eps 1e-8, per-step gradient NaN/Inf scrubbing
+  * EMA lerp of G params + buffer copy every step
+  * progressive Gaussian blur fade on D inputs and L1 targets
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import gaussian_blur2d
+from . import losses
+from .train_state import GANTrainState, ema_beta, ema_update, make_optimizer
+
+
+@dataclasses.dataclass(frozen=True)
+class GANConfig:
+    """Static training hyperparameters (subset of the reference cfg tree)."""
+
+    z_dim: int = 512
+    c_dim: int = 0
+    batch_size: int = 16
+    combine_ab: bool = True
+    lambda_l1: float = 100.0
+    lambda_r1: float = 10.0
+    lr_g: float = 0.0025
+    lr_d: float = 0.002
+    adam_beta1: float = 0.0
+    adam_beta2: float = 0.99
+    adam_eps: float = 1e-8
+    ema_enabled: bool = True
+    ema_kimgs: float = 10.0
+    ema_ramp: Optional[float] = None
+    blur_init_sigma: float = 0.0
+    blur_fade_kimg: float = 0.0
+
+
+class GANModel:
+    """Bundles generator/discriminator modules with the jitted step functions."""
+
+    def __init__(self, generator: nn.Module, discriminator: nn.Module,
+                 config: GANConfig):
+        self.generator = generator
+        self.discriminator = discriminator
+        self.config = config
+        self.blur_max_radius = int(np.floor(config.blur_init_sigma * 3.0))
+
+    # -- initialization ------------------------------------------------------
+
+    def init_state(self, rng, batch: Dict[str, jnp.ndarray]) -> GANTrainState:
+        cfg = self.config
+        rng_g, rng_d, rng_noise, rng_z = jax.random.split(rng, 4)
+        z = jax.random.normal(rng_z, (batch["A"].shape[0], cfg.z_dim))
+        c = self._cond(batch)
+
+        g_vars = self.generator.init(
+            {"params": rng_g, "noise": rng_noise, "dropout": rng_noise},
+            z, c, batch["A"], ref_img=batch.get("B"))
+        d_in = self._d_input(batch["A"], batch["B"])
+        d_vars = self.discriminator.init({"params": rng_d}, d_in, c)
+
+        params_g = g_vars["params"]
+        moments_g = g_vars.get("moments", {})
+        constants_g = g_vars.get("constants", {})
+        params_d = d_vars["params"]
+
+        tx_g = make_optimizer(cfg.lr_g, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps)
+        tx_d = make_optimizer(cfg.lr_d, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps)
+        return GANTrainState(
+            step=jnp.zeros((), jnp.int32),
+            params_G=params_g, params_D=params_d,
+            params_G_ema=jax.tree.map(jnp.copy, params_g),
+            moments_G=moments_g,
+            moments_G_ema=jax.tree.map(jnp.copy, moments_g),
+            constants_G=constants_g,
+            opt_state_G=tx_g.init(params_g), opt_state_D=tx_d.init(params_d))
+
+    # -- helpers -------------------------------------------------------------
+
+    def _cond(self, batch):
+        cfg = self.config
+        if cfg.c_dim > 0:
+            return batch["slice_idx"].reshape(-1, cfg.c_dim)
+        return jnp.zeros((batch["A"].shape[0], 1), jnp.float32)
+
+    def _d_input(self, a, b):
+        return jnp.concatenate([a, b], axis=1) if self.config.combine_ab else b
+
+    def _blur(self, img, sigma):
+        if self.blur_max_radius <= 0:
+            return img
+        return gaussian_blur2d(img, sigma, max_radius=self.blur_max_radius)
+
+    def _run_g(self, params_g, moments_g, constants_g, z, c, cond_img, ref_img,
+               rng, train: bool):
+        variables = {"params": params_g, "moments": moments_g,
+                     "constants": constants_g}
+        rng_noise, rng_drop = jax.random.split(rng)
+        out = self.generator.apply(
+            variables, z, c, cond_img, ref_img=ref_img, train=train,
+            rngs={"noise": rng_noise, "dropout": rng_drop},
+            mutable=["moments"] if train else False)
+        if train:
+            fake, updated = out
+            return fake, updated.get("moments", moments_g)
+        return out, moments_g
+
+    def _run_d(self, params_d, img, c, sigma):
+        return self.discriminator.apply({"params": params_d},
+                                        self._blur(img, sigma), c)
+
+    # -- the jitted train step ----------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state: GANTrainState, batch: Dict[str, jnp.ndarray],
+                   rng, cur_nimg) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
+        cfg = self.config
+        rng_z, rng_gd, rng_gg = jax.random.split(rng, 3)
+        z = jax.random.normal(rng_z, (batch["A"].shape[0], cfg.z_dim))
+        c = self._cond(batch)
+        real_a, real_b = batch["A"], batch["B"]
+        sigma = losses.blur_sigma_schedule(cur_nimg, cfg.blur_init_sigma,
+                                           cfg.blur_fade_kimg)
+
+        tx_g = make_optimizer(cfg.lr_g, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps)
+        tx_d = make_optimizer(cfg.lr_d, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps)
+
+        # ---- D phase (G frozen; reference stylegan3_model.py:117-125) ----
+        fake_b_d, moments_g = self._run_g(
+            jax.lax.stop_gradient(state.params_G), state.moments_G,
+            state.constants_G, z, c, real_a, real_b, rng_gd, train=True)
+        fake_b_d = jax.lax.stop_gradient(fake_b_d)
+
+        def d_loss_fn(params_d):
+            fake_ab = self._d_input(real_a, fake_b_d)
+            real_ab = self._d_input(real_a, real_b)
+            fake_logits = self._run_d(params_d, fake_ab, c, sigma)
+            real_logits = self._run_d(params_d, real_ab, c, sigma)
+            loss_fake, loss_real = losses.softplus_d_loss(fake_logits, real_logits)
+            loss = loss_fake + loss_real
+            r1 = jnp.zeros(())
+            if cfg.lambda_r1 > 0:
+                r1 = losses.r1_penalty(
+                    lambda img: self._run_d(params_d, img, c, sigma), real_ab)
+                loss = loss + r1 * cfg.lambda_r1
+            return loss, (loss_fake, loss_real, r1)
+
+        (_, (loss_d_fake, loss_d_real, loss_r1)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.params_D)
+        d_grads = losses.nan_to_num_grads(d_grads)
+        d_updates, opt_state_d = tx_d.update(d_grads, state.opt_state_D,
+                                             state.params_D)
+        params_d = jax.tree.map(lambda p, u: p + u, state.params_D, d_updates)
+
+        # ---- G phase (reference stylegan3_model.py:126-135) ----
+        def g_loss_fn(params_g):
+            fake_b, new_moments = self._run_g(
+                params_g, moments_g, state.constants_G, z, c, real_a, real_b,
+                rng_gg, train=True)
+            fake_ab = self._d_input(real_a, fake_b)
+            gen_logits = self._run_d(params_d, fake_ab, c, sigma)
+            loss_gan = losses.softplus_g_loss(gen_logits)
+            loss_l1 = losses.l1_loss(self._blur(fake_b, sigma),
+                                     self._blur(real_b, sigma)) * cfg.lambda_l1
+            return loss_gan + loss_l1, (loss_gan, loss_l1, new_moments)
+
+        (_, (loss_g_gan, loss_g_l1, moments_g)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.params_G)
+        g_grads = losses.nan_to_num_grads(g_grads)
+        g_updates, opt_state_g = tx_g.update(g_grads, state.opt_state_G,
+                                             state.params_G)
+        params_g = jax.tree.map(lambda p, u: p + u, state.params_G, g_updates)
+
+        # ---- EMA (reference train.py:67-77) ----
+        if cfg.ema_enabled:
+            beta = ema_beta(cfg.batch_size, cfg.ema_kimgs, cfg.ema_ramp, cur_nimg)
+            params_g_ema = ema_update(state.params_G_ema, params_g, beta)
+            moments_g_ema = moments_g
+        else:
+            params_g_ema = state.params_G_ema
+            moments_g_ema = state.moments_G_ema
+
+        new_state = state.replace(
+            step=state.step + 1, params_G=params_g, params_D=params_d,
+            params_G_ema=params_g_ema, moments_G=moments_g,
+            moments_G_ema=moments_g_ema, opt_state_G=opt_state_g,
+            opt_state_D=opt_state_d)
+        metrics = {"G_GAN": loss_g_gan, "G_L1": loss_g_l1,
+                   "D_real": loss_d_real, "D_fake": loss_d_fake,
+                   "D_r1": loss_r1, "blur_sigma": sigma}
+        return new_state, metrics
+
+    # -- inference -----------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def eval_step(self, state: GANTrainState, cond_img, slice_idx, rng):
+        """EMA forward with const noise (reference: comodgan_model.py:114-126)."""
+        cfg = self.config
+        z = jax.random.normal(rng, (cond_img.shape[0], cfg.z_dim))
+        c = slice_idx.reshape(-1, cfg.c_dim) if cfg.c_dim > 0 else \
+            jnp.zeros((cond_img.shape[0], 1), jnp.float32)
+        variables = {"params": state.params_G_ema,
+                     "moments": state.moments_G_ema,
+                     "constants": state.constants_G}
+        return self.generator.apply(variables, z, c, cond_img, train=False,
+                                    noise_mode="const")

@@ -494,8 +494,8 @@ class Stylegan3Generator(nn.Module):
 
     def __call__(self, z, c, cond_img, ref_img=None, truncation_psi: float = 1.0,
                  truncation_cutoff=None, train: bool = False,
-                 update_emas: bool = False):
-        del ref_img  # accepted for API parity; SG3 mapping ignores it
+                 update_emas: bool = False, noise_mode: str = "random"):
+        del ref_img, noise_mode  # accepted for API parity; unused by SG3
         ws = self.mapping(z, c, truncation_psi=truncation_psi,
                           truncation_cutoff=truncation_cutoff,
                           update_w_avg=update_emas)

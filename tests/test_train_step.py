@@ -1,0 +1,96 @@
+"""Train-step behavior tests on a tiny model (CPU, virtual devices)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from afcm_tpu.models import GANConfig, GANModel, build_discriminator, build_generator  # noqa: E402
+
+TINY_G = dict(netG="stylegan3", z_dim=32, c_dim=1, w_dim=32, img_resolution=32,
+              img_channels_in=4, img_channels_out=1,
+              mapping_kwargs=dict(num_layers=2),
+              synthesis_kwargs=dict(channel_base=1024, channel_max=32,
+                                    num_layers=4, num_critical=2,
+                                    skip_resolution=16, conv_clamp=256,
+                                    margin_size=4, lrelu_upsampling=2))
+TINY_D = dict(netD="comodgan", c_dim=1, img_resolution=32, img_channels=5,
+              channel_base=1024, channel_max=32,
+              epilogue_kwargs=dict(mbstd_group_size=2))
+
+
+def _make_model(**cfg_kwargs):
+    cfg = GANConfig(z_dim=32, c_dim=1, batch_size=2, blur_init_sigma=2.0,
+                    blur_fade_kimg=1.0, **cfg_kwargs)
+    return GANModel(build_generator(dict(TINY_G)),
+                    build_discriminator(dict(TINY_D)), cfg)
+
+
+def _batch(rng, n=2):
+    return {"A": jnp.asarray(rng.randn(n, 4, 32, 32).clip(-1, 1), jnp.float32),
+            "B": jnp.asarray(rng.randn(n, 1, 32, 32).clip(-1, 1), jnp.float32),
+            "slice_idx": jnp.asarray(rng.rand(n, 1), jnp.float32)}
+
+
+@pytest.fixture(scope="module")
+def model():
+    return _make_model()
+
+
+@pytest.fixture(scope="module")
+def state(model):
+    rng = np.random.RandomState(0)
+    return model.init_state(jax.random.PRNGKey(0), _batch(rng))
+
+
+def test_train_step_updates_everything(model, state):
+    rng = np.random.RandomState(1)
+    batch = _batch(rng)
+    new_state, metrics = model.train_step(
+        jax.tree.map(jnp.copy, state), batch, jax.random.PRNGKey(1),
+        jnp.asarray(0.0))
+
+    assert int(new_state.step) == 1
+    for key in ("G_GAN", "G_L1", "D_real", "D_fake", "D_r1"):
+        v = float(metrics[key])
+        assert np.isfinite(v), key
+
+    # params moved
+    def changed(a, b):
+        return any(not np.allclose(x, y) for x, y in
+                   zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+    assert changed(new_state.params_G, state.params_G)
+    assert changed(new_state.params_D, state.params_D)
+    # EMA moved toward new params but is not equal to them
+    assert changed(new_state.params_G_ema, state.params_G_ema)
+    assert changed(new_state.params_G_ema, new_state.params_G)
+
+
+def test_blur_sigma_fades(model, state):
+    rng = np.random.RandomState(2)
+    batch = _batch(rng)
+    st = jax.tree.map(jnp.copy, state)
+    _, m0 = model.train_step(st, batch, jax.random.PRNGKey(0), jnp.asarray(0.0))
+    assert float(m0["blur_sigma"]) == pytest.approx(2.0)
+    st = jax.tree.map(jnp.copy, state)
+    _, m1 = model.train_step(st, batch, jax.random.PRNGKey(0),
+                             jnp.asarray(2000.0))
+    assert float(m1["blur_sigma"]) == 0.0
+
+
+def test_eval_step_deterministic(model, state):
+    rng = np.random.RandomState(3)
+    batch = _batch(rng)
+    out1 = model.eval_step(state, batch["A"], batch["slice_idx"],
+                           jax.random.PRNGKey(7))
+    out2 = model.eval_step(state, batch["A"], batch["slice_idx"],
+                           jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    assert out1.shape == (2, 1, 32, 32)
+
+
+def test_lr_injection(model, state):
+    st = state.with_lr(1e-3, 2e-3)
+    assert float(st.opt_state_G.hyperparams["learning_rate"]) == pytest.approx(1e-3)
+    assert float(st.opt_state_D.hyperparams["learning_rate"]) == pytest.approx(2e-3)
