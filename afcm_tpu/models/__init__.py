@@ -89,7 +89,9 @@ def build_gan_model(cfg) -> GANModel:
         lr_d=cfg.optimizer.lr_D,
         ema_enabled=cfg.scheduler.ema.enabled,
         ema_kimgs=cfg.scheduler.ema.ema_kimgs,
-        ema_ramp=cfg.scheduler.ema.ramp,
+        # the reference YAMLs write `ramp: None`, which YAML reads as a string
+        ema_ramp=None if cfg.scheduler.ema.ramp in (None, "None") else
+        cfg.scheduler.ema.ramp,
         blur_init_sigma=getattr(cfg.loss, "blur_init_sigma", 0.0),
         blur_fade_kimg=getattr(cfg.loss, "blur_fade_kimg", 0.0))
     return GANModel(generator, discriminator, gan_config)

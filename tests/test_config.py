@@ -1,0 +1,95 @@
+"""Config system tests: defaults, _BASE_ inheritance, CLI overrides, freeze."""
+
+import os
+
+import pytest
+
+from afcm_tpu.config import CfgNode, get_default_cfg, setup
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class _Args:
+    def __init__(self, config_file="", model=None, opts=None):
+        self.config_file = config_file
+        self.model = model
+        self.opts = opts or []
+
+
+def test_defaults_tree():
+    cfg = get_default_cfg()
+    assert cfg.loaders.batch_size == 8
+    assert cfg.predictor.patch_halo == [0, 8, 8]
+    assert cfg.loss.lambda_r1 == 10.0
+
+
+def test_adni_cmsr_config():
+    cfg = setup(_Args(os.path.join(REPO, "configs/adni/stylegan3/cmsr.yml")))
+    assert cfg.model.name == "stylegan3"
+    assert cfg.model.G.c_dim == 1
+    assert cfg.model.G.img_channels_in == 4
+    assert cfg.model.G.synthesis_kwargs.num_layers == 14
+    assert cfg.model.G.synthesis_kwargs.skip_resolution == 128
+    assert cfg.model.D.img_channels == 5
+    assert cfg.model.D.epilogue_kwargs.mbstd_group_size == 16
+    assert cfg.loaders.thickness == [5]
+    assert cfg.loaders.batch_size == 16
+    assert cfg.loss.blur_init_sigma == 10.0
+    assert cfg.optimizer.lr_G == 0.0025
+    assert cfg.scheduler.ema.enabled is True
+    assert cfg.is_frozen()
+    with pytest.raises(AttributeError):
+        cfg.loaders.batch_size = 4
+
+
+def test_base_inheritance_chain():
+    # sr_5 -> cmsr -> adni/base
+    cfg = setup(_Args(os.path.join(REPO, "configs/adni/stylegan3/sr_5.yml")))
+    assert cfg.name == "adni_stylegan3_sr5"
+    assert cfg.loaders.raw_internal_path_in == ["t1_lr4sr"]
+    assert cfg.loaders.thickness == [5]          # inherited from cmsr.yml
+    assert cfg.loss.blur_fade_kimg == 100.0
+
+
+def test_cli_overrides():
+    cfg = setup(_Args(os.path.join(REPO, "configs/adni/stylegan3/cmsr.yml"),
+                      opts=["loaders.batch_size", "4",
+                            "model.G.synthesis_kwargs.num_layers", "6",
+                            "scheduler.ema.enabled", "False"]))
+    assert cfg.loaders.batch_size == 4
+    assert cfg.model.G.synthesis_kwargs.num_layers == 6
+    assert cfg.scheduler.ema.enabled is False
+
+
+def test_unknown_key_rejected():
+    cfg = get_default_cfg()
+    with pytest.raises(KeyError):
+        cfg.merge_from_other({"nonexistent_key": 1})
+
+
+def test_all_shipped_configs_load():
+    root = os.path.join(REPO, "configs")
+    count = 0
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.endswith(".yml") and f != "base.yml":
+                cfg = setup(_Args(os.path.join(dirpath, f)))
+                assert cfg.model.name in ("stylegan3", "comodgan", "pix2pix")
+                count += 1
+    assert count >= 11
+
+
+def test_comodgan_config_builds_model():
+    from afcm_tpu.models import build_gan_model
+    cfg = setup(_Args(os.path.join(REPO, "configs/adni/comodgan/ccsr.yml")))
+    model = build_gan_model(cfg)
+    assert model.config.c_dim == 1
+    assert model.generator.img_channels_in == 4
+
+
+def test_stylegan3_config_builds_model():
+    from afcm_tpu.models import build_gan_model
+    cfg = setup(_Args(os.path.join(REPO, "configs/inhouse/stylegan3/ccsr.yml")))
+    model = build_gan_model(cfg)
+    assert model.config.blur_init_sigma == 10.0
+    assert model.generator.synthesis_kwargs["num_layers"] == 14
