@@ -1,0 +1,151 @@
+"""Batch iterators feeding the device.
+
+Replaces the reference's torch DataLoader stack (reference:
+data/__init__.py:61-92, data/utils.py:218-308) with plain-numpy batch
+assembly + a single background prefetch thread; device placement (with
+optional mesh sharding) happens at the train-loop boundary via
+`afcm_tpu.parallel`.
+"""
+
+from __future__ import annotations
+
+import queue
+import random as _random
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from .h5_dataset import CmsrDataset, StandardHDF5Dataset
+
+
+def _stack(samples: List[Dict]) -> Dict[str, np.ndarray]:
+    out = {}
+    for key in samples[0]:
+        out[key] = np.stack([s[key] for s in samples], axis=0)
+    return out
+
+
+class TrainLoader:
+    """Shuffled epoch iterator over a CmsrDataset yielding stacked batches."""
+
+    def __init__(self, dataset: CmsrDataset, batch_size: int,
+                 shuffle: bool = True, seed: int = 0, drop_last: bool = True,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._rng = np.random.RandomState(seed)
+        self._pyrng = _random.Random(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else \
+            -(-n // self.batch_size)
+
+    def _epoch_batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        limit = len(self) * self.batch_size if self.drop_last else len(order)
+        for start in range(0, limit, self.batch_size):
+            idxs = order[start:start + self.batch_size]
+            samples = [self.dataset.get_item(int(i), rng=self._pyrng)
+                       for i in idxs]
+            yield _stack(samples)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.prefetch <= 0:
+            yield from self._epoch_batches()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error: List[BaseException] = []
+
+        def worker():
+            try:
+                for batch in self._epoch_batches():
+                    q.put(batch)
+            except BaseException as exc:  # propagate to consumer
+                error.append(exc)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if error:
+            raise error[0]
+
+
+class TestLoader:
+    """Sequential batches of (A, slice_idx, raw_index) for one subject
+    (reference: data/utils.py:265-324)."""
+
+    __test__ = False  # not a pytest class
+
+    def __init__(self, dataset, batch_size: int):
+        self.dataset = dataset
+        self.batch_size = batch_size
+
+    def __len__(self) -> int:
+        return -(-len(self.dataset) // self.batch_size)
+
+    def __iter__(self):
+        for start in range(0, len(self.dataset), self.batch_size):
+            items = [self.dataset.get_item(i)
+                     for i in range(start, min(start + self.batch_size,
+                                               len(self.dataset)))]
+            a = np.stack([it[0] for it in items], axis=0)
+            slice_idx = np.stack([it[1] for it in items], axis=0)
+            indices = [it[2] for it in items]
+            yield a, slice_idx, indices
+
+
+def create_dataset(loaders_config, phase: str) -> CmsrDataset:
+    """Dataset factory by ``loaders.dataset_mode``
+    (reference: data/__init__.py:46-58)."""
+    mode = loaders_config.get("dataset_mode", "cmsr")
+    if mode == "cmsr":
+        return CmsrDataset(loaders_config, phase=phase,
+                           dataset_cls=StandardHDF5Dataset)
+    if mode == "cmsrnii":
+        from .nii_dataset import StandardNIIDataset
+        return CmsrDataset(loaders_config, phase=phase,
+                           dataset_cls=StandardNIIDataset)
+    raise NotImplementedError(f"dataset_mode {mode}")
+
+
+def get_train_loaders(cfg, seed: int = 0) -> Dict[str, TrainLoader]:
+    loaders_config = cfg.loaders
+    train = TrainLoader(create_dataset(loaders_config, "train"),
+                        batch_size=loaders_config.batch_size,
+                        shuffle=not loaders_config.serial_batches, seed=seed)
+    val = TrainLoader(create_dataset(loaders_config, "val"),
+                      batch_size=loaders_config.batch_size, shuffle=False,
+                      seed=seed, drop_last=False)
+    return {"train": train, "val": val}
+
+
+def get_test_loaders(cfg) -> Iterator[TestLoader]:
+    """Lazy per-subject TestLoader generator
+    (reference: data/utils.py:265-308)."""
+    loaders_config = cfg.loaders
+    mode = loaders_config.get("dataset_mode", "cmsr")
+    if mode == "cmsr":
+        dataset_cls = StandardHDF5Dataset
+    elif mode == "cmsrnii":
+        from .nii_dataset import StandardNIIDataset
+        dataset_cls = StandardNIIDataset
+    else:
+        raise NotImplementedError(f"dataset_mode {mode}")
+    datasets = dataset_cls.create_datasets(loaders_config, phase="test")
+    for ds in datasets:
+        yield TestLoader(ds, batch_size=loaders_config.batch_size)

@@ -35,6 +35,27 @@ def load_reference_ops():
             BICUBIC="bicubic", NEAREST="nearest")
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.transforms"] = tv.transforms
+    if "skimage" not in sys.modules:
+        # skimage isn't installed; shim the few names the reference's
+        # transforms module imports (none are exercised by our oracle tests).
+        import types
+        from scipy.ndimage import gaussian_filter
+        sk = types.ModuleType("skimage")
+        sk.measure = types.ModuleType("skimage.measure")
+        sk.measure.label = None
+        sk.filters = types.ModuleType("skimage.filters")
+        sk.filters.gaussian = lambda x, sigma: gaussian_filter(
+            x.astype("float64"), sigma=sigma, mode="nearest")
+        sk.segmentation = types.ModuleType("skimage.segmentation")
+        sk.segmentation.find_boundaries = None
+        for name, mod in [("skimage", sk), ("skimage.measure", sk.measure),
+                          ("skimage.filters", sk.filters),
+                          ("skimage.segmentation", sk.segmentation)]:
+            sys.modules[name] = mod
+    for missing in ("SimpleITK", "nibabel", "visdom", "dominate", "wandb"):
+        if missing not in sys.modules:
+            import types
+            sys.modules[missing] = types.ModuleType(missing)
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     from models.networks.stylegan3.torch_utils.ops import (  # noqa: E501

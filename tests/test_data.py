@@ -1,0 +1,176 @@
+"""Data pipeline tests: slice builder parity, window assembly, loaders, NIfTI IO."""
+
+import os
+
+import numpy as np
+import pytest
+
+from afcm_tpu.data import (CmsrDataset, SliceBuilder, TestLoader, TrainLoader,
+                           Transformer)
+from afcm_tpu.data.demo import make_phantom, write_demo_tree
+from afcm_tpu.data.slice_builder import gen_indices
+from afcm_tpu.utils.nifti import read_nifti, write_nifti
+
+
+def test_gen_indices_tail():
+    # stride not dividing evenly -> final tail-aligned window
+    assert list(gen_indices(10, 4, 3)) == [0, 3, 6]
+    assert list(gen_indices(11, 4, 3)) == [0, 3, 6, 7]
+    assert list(gen_indices(256, 256, 16)) == [0]
+
+
+def test_slice_builder_counts():
+    vol = np.zeros((48, 256, 256), dtype=np.uint8)
+    sb = SliceBuilder(vol, None, None, patch_shape=(1, 256, 256),
+                      stride_shape=(1, 32, 32))
+    assert len(sb.raw_slices) == 48
+    sb2 = SliceBuilder(vol, None, None, patch_shape=(1, 128, 128),
+                       stride_shape=(1, 64, 64))
+    # per z: y,x each gen_indices(256,128,64) -> [0,64,128] = 3 -> 9 patches
+    assert len(sb2.raw_slices) == 48 * 9
+
+
+@pytest.fixture(scope="module")
+def demo_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("demo_h5")
+    return write_demo_tree(str(root), n_train=1, n_val=1, n_test=1, depth=16,
+                           size=96)
+
+
+def _loaders_config(root, thickness=(4,), slice_num=4, size=96):
+    transformer = {"raw": {
+        "Normalize": {"enabled": True, "min_value": 0.0, "max_value": 255.0},
+        "ToTensor": {"enabled": True, "expand_dims": False}}}
+    sb = {"name": "SliceBuilder", "patch_shape": [1, size, size],
+          "stride_shape": [1, 32, 32]}
+    return {
+        "dataset_mode": "cmsr", "batch_size": 4, "serial_batches": False,
+        "raw_internal_path_in": ["flair"], "raw_internal_path_out": ["t1"],
+        "rand_output": False, "cat_inputs": False, "thickness": list(thickness),
+        "slice_num": slice_num, "global_normalization": None,
+        "train": {"file_paths": [os.path.join(root, "train")],
+                  "slice_builder": sb, "transformer": transformer},
+        "val": {"file_paths": [os.path.join(root, "val")],
+                "slice_builder": sb, "transformer": transformer},
+        "test": {"file_paths": [os.path.join(root, "test")],
+                 "slice_builder": sb, "transformer": transformer},
+    }
+
+
+def test_window_assembly_semantics(demo_root):
+    ds = CmsrDataset(_loaders_config(demo_root), phase="val")
+    sub = ds.datasets[0]
+    t = 4
+    # idx=6, t=4 -> idx_A=4, window [0, 4, 8, 12], slice_idx=0.5
+    sample = sub.get_item(6)
+    assert sample["A"].shape == (4, 96, 96)
+    assert sample["B"].shape == (1, 96, 96)
+    assert sample["slice_idx"][0] == pytest.approx(2 / 4)
+
+    vol = sub.raw["flair"].astype(np.float32)
+    norm = lambda v: np.clip(2 * (v / 255.0) - 1, -1, 1)
+    for ch, zidx in enumerate([0, 4, 8, 12]):
+        np.testing.assert_allclose(sample["A"][ch], norm(vol[zidx]), atol=1e-6)
+    # B is the idx-6 slice of t1
+    np.testing.assert_allclose(
+        sample["B"][0], norm(sub.raw["t1"][6].astype(np.float32)), atol=1e-6)
+
+    # idx=0 -> window [-4 (pad), 0, 4, 8]; padded channel = Normalize(0) = -1
+    s0 = sub.get_item(0)
+    np.testing.assert_allclose(s0["A"][0], -1.0)
+    assert s0["slice_idx"][0] == 0.0
+
+
+def test_window_matches_reference_dataset(demo_root):
+    """Oracle test: identical A/B/slice_idx vs the reference CmsrDataset."""
+    from tests._torch_ref import load_reference_ops
+    load_reference_ops()  # sys.path + shims
+    from data.cmsr_dataset import StandardHDF5Dataset as RefDS
+
+    class _Cfg(dict):
+        __getattr__ = dict.__getitem__
+
+    cfg = _loaders_config(demo_root)
+    h5file = os.path.join(demo_root, "val",
+                          os.listdir(os.path.join(demo_root, "val"))[0])
+    ref_ds = RefDS(file_path=h5file, phase="val",
+                   slice_builder_config=_Cfg(cfg["val"]["slice_builder"]),
+                   transformer_config=cfg["val"]["transformer"],
+                   raw_internal_path_in=["flair"],
+                   raw_internal_path_out=["t1"], thickness=[4], slice_num=4,
+                   global_normalization=None)
+    ours = CmsrDataset(cfg, phase="val").datasets[0]
+    assert len(ref_ds) == len(ours)
+    for idx in [0, 1, 5, 9, len(ours) - 1]:
+        ref_item = ref_ds[idx]
+        our_item = ours.get_item(idx)
+        np.testing.assert_allclose(our_item["A"], ref_item["A"].numpy(),
+                                   atol=1e-6)
+        np.testing.assert_allclose(our_item["B"], ref_item["B"].numpy(),
+                                   atol=1e-6)
+        np.testing.assert_allclose(our_item["slice_idx"],
+                                   ref_item["slice_idx"], atol=1e-7)
+
+
+def test_train_loader_batches(demo_root):
+    ds = CmsrDataset(_loaders_config(demo_root), phase="train")
+    loader = TrainLoader(ds, batch_size=4, shuffle=True, seed=0)
+    batches = list(loader)
+    assert len(batches) == len(ds) // 4
+    b = batches[0]
+    assert b["A"].shape == (4, 4, 96, 96)
+    assert b["B"].shape == (4, 1, 96, 96)
+    assert b["slice_idx"].shape == (4, 1)
+    assert b["A"].dtype == np.float32
+    assert b["A"].min() >= -1 and b["A"].max() <= 1
+
+
+def test_test_loader_contract(demo_root):
+    ds = CmsrDataset(_loaders_config(demo_root), phase="test").datasets[0]
+    loader = TestLoader(ds, batch_size=6)
+    a, slice_idx, indices = next(iter(loader))
+    assert a.shape == (6, 4, 96, 96)
+    assert slice_idx.shape == (6, 1)
+    assert len(indices) == 6
+    assert isinstance(indices[0], tuple) and isinstance(indices[0][0], slice)
+
+
+def test_nifti_roundtrip(tmp_path):
+    vol = (np.random.RandomState(0).rand(10, 20, 30) * 255).astype(np.uint8)
+    path = str(tmp_path / "test.nii.gz")
+    write_nifti(path, vol)
+    back, affine = read_nifti(path)
+    np.testing.assert_array_equal(back, vol)
+    np.testing.assert_array_equal(affine, np.eye(4))
+
+    volf = np.random.RandomState(1).randn(4, 8, 8).astype(np.float32)
+    path2 = str(tmp_path / "test2.nii")
+    write_nifti(path2, volf)
+    back2, _ = read_nifti(path2)
+    np.testing.assert_allclose(back2, volf)
+
+
+def test_nifti_matches_reference_reader(tmp_path):
+    """Our writer must produce files the torch-era nibabel layout agrees with.
+
+    nibabel is unavailable; instead verify against the reference's
+    SimpleITK-written convention by checking the transpose contract our
+    own reader provides (z,y,x) — plus header sanity via raw struct."""
+    import struct
+    vol = np.arange(2 * 3 * 4, dtype=np.float32).reshape(2, 3, 4)
+    path = str(tmp_path / "t.nii")
+    write_nifti(path, vol)
+    raw = open(path, "rb").read()
+    dim = struct.unpack_from("<8h", raw, 40)
+    assert dim[0] == 3 and (dim[1], dim[2], dim[3]) == (4, 3, 2)  # x,y,z
+    assert raw[344:347] == b"n+1"
+
+
+def test_transformer_shared_seed():
+    cfg = {"raw": {"RandomFlip": {"enabled": True, "axes": [1, 2]},
+                   "ToTensor": {"enabled": True, "expand_dims": False}}}
+    tr = Transformer(cfg, {})
+    x = np.random.RandomState(0).rand(1, 8, 8)
+    a = tr.raw_transform()(x.copy())
+    b = tr.raw_transform()(x.copy())
+    np.testing.assert_array_equal(a, b)  # same seed -> same flips
