@@ -1,0 +1,131 @@
+"""Evaluation entry point (reference: evaluate.py).
+
+    python -m afcm_tpu.evaluate --config-file configs/adni/stylegan3/cmsr.yml \
+        epoch latest
+
+Runs the patch-stitched predictor per test subject with the jitted EMA
+generator, reloads the written NIfTI volumes, and reports 3-D + per-slice
+PSNR/SSIM against the original-resolution targets into ``evaluate.txt``.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import default_argument_parser
+from .data import get_test_loaders
+from .infer import get_predictor
+from .models import build_gan_model
+from .utils import checkpoint as ckpt
+from .utils.metrics import evaluate_3D, evaluate_slice
+from .utils.nifti import read_nifti
+
+
+def rescale_intensity(volume, percentils=(0.5, 99.5), bins_num=256,
+                      norm=False):
+    """(reference: evaluate.py:23-40)"""
+    from .data.prepare_h5 import rescale_intensity as _ri
+    return _ri(volume, percentils=percentils, bins_num=bins_num, norm=norm)
+
+
+def make_forward_fn(model, state, seed: int = 0):
+    """Jitted (A, slice_idx) -> fake_B closure over the EMA generator."""
+    key = jax.random.PRNGKey(seed)
+
+    def forward(a_batch, slice_idx):
+        return model.eval_step(state, jnp.asarray(a_batch),
+                               jnp.asarray(slice_idx), key)
+    return forward
+
+
+def find_target_volume(cfg, subject: str) -> Optional[np.ndarray]:
+    """Load the original-resolution target for a subject.
+
+    Prefers the reference layout (``<ori_file_path>/<subject>/<subject>*
+    <out_modality>.nii.gz``); falls back to the subject's own h5 target
+    modality when no registered original tree exists (demo / self-contained
+    evaluation)."""
+    modality = cfg.loaders.raw_internal_path_out[-1]
+    ori = cfg.loaders.test.ori_file_path
+    if ori and os.path.isdir(os.path.join(ori, subject)):
+        matches = glob.glob(os.path.join(ori, subject,
+                                         f"{subject}*{modality}.nii.gz"))
+        if matches:
+            vol, _ = read_nifti(matches[0])
+            return np.asarray(vol, np.float64)
+    return None
+
+
+def main(argv=None):
+    cfg = default_argument_parser(argv)
+    print(cfg.dump())
+
+    model = build_gan_model(cfg)
+    run_dir = os.path.join(cfg.checkpoints_dir, cfg.name)
+    tag = str(cfg.epoch) if cfg.epoch else "latest"
+
+    # Initialize a state skeleton then restore.
+    rng = jax.random.PRNGKey(0)
+    res = cfg.model.G.img_resolution
+    dummy = {"A": jnp.zeros((1, cfg.model.G.img_channels_in, res, res)),
+             "B": jnp.zeros((1, cfg.model.G.img_channels_out, res, res)),
+             "slice_idx": jnp.zeros((1, 1))}
+    state = model.init_state(rng, dummy)
+    state = ckpt.load_state(state, run_dir, tag)
+
+    out_path = os.path.join(run_dir, "evaluate")
+    os.makedirs(out_path, exist_ok=True)
+    predictor_cls = get_predictor(cfg.predictor.name)
+    predictor = predictor_cls(make_forward_fn(model, state), out_path, cfg,
+                              patch_halo=cfg.predictor.patch_halo)
+
+    c_psnr, c_ssim, c_psnr_slice, c_ssim_slice = [], [], [], []
+    with open(os.path.join(out_path, "evaluate.txt"), "a") as fw:
+        for test_loader in get_test_loaders(cfg):
+            pred_path = predictor(test_loader)
+            subject = os.path.basename(
+                test_loader.dataset.file_path).split(".")[0]
+
+            img_data, _ = read_nifti(pred_path)
+            img_data = (np.clip(img_data, -1, 1) + 1) / 2
+
+            target = find_target_volume(cfg, subject)
+            if target is not None:
+                target_data = np.clip(target, 0, 255) / 255
+            else:
+                modality = cfg.loaders.raw_internal_path_out[-1]
+                target_data = test_loader.dataset.raw[modality].astype(
+                    np.float64) / 255
+
+            one = evaluate_3D(img_data, target_data)
+            one_slice = evaluate_slice(img_data, target_data)
+            c_psnr.append(one[0])
+            c_ssim.append(one[1])
+            c_psnr_slice.append(one_slice[0])
+            c_ssim_slice.append(one_slice[1])
+
+            line = (f" subject:{subject}   psnr:{one[0]:.6}, ssim:{one[1]:.6}, "
+                    f"psnr_slice:{one_slice[0]:.6}, ssim_slice:{one_slice[1]:.6}\n")
+            fw.write(line)
+            print(line, end="")
+
+        summary = (f" ^^^VALIDATION mean psnr:{np.mean(c_psnr):.6}, "
+                   f"ssim:{np.mean(c_ssim):.6}, "
+                   f"psnr_slice:{np.mean(c_psnr_slice):.6}, "
+                   f"ssim_slice:{np.mean(c_ssim_slice):.6}\n")
+        summary += (f" std   psnr:{np.std(c_psnr):.6}, ssim:{np.std(c_ssim):.6}, "
+                    f"psnr_slice:{np.std(c_psnr_slice):.6}, "
+                    f"ssim_slice:{np.std(c_ssim_slice):.6}\n")
+        fw.write(summary)
+        print(summary, end="")
+    return {"psnr": float(np.mean(c_psnr)), "ssim": float(np.mean(c_ssim))}
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""Patch-in / volume-out prediction with overlap averaging
+(reference: models/predictor.py).
+
+The jitted EMA generator runs fixed-shape batches on device (ragged final
+batches are padded to avoid recompilation); halo removal + overlap-average
+accumulation happen host-side in numpy (the patches are full slices in the
+shipped configs, so stitching is negligible next to the G forward).
+
+Output heads follow the reference convention the eval driver expects
+(reference: evaluate.py:58-60): ``_predictions0`` = model output,
+``_predictions2`` = the (center-slice) input; the reference's phantom
+``pred_mask`` head 1 — which no shipped model defines — is written as a copy
+of head 0 so downstream tooling indexed on three heads keeps working.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from ..utils.nifti import write_nifti
+
+
+def remove_halo(patch: np.ndarray, index, shape, patch_halo):
+    """Crop `patch_halo` voxels from non-boundary patch edges
+    (reference: models/predictor.py:17-51)."""
+    assert len(patch_halo) == 3
+
+    def _new_slices(slicing: slice, max_size: int, pad: int):
+        if slicing.start == 0:
+            p_start, i_start = 0, 0
+        else:
+            p_start, i_start = pad, slicing.start + pad
+        if slicing.stop == max_size:
+            p_stop, i_stop = None, max_size
+        else:
+            p_stop = -pad if pad != 0 else 1
+            i_stop = slicing.stop - pad
+        return slice(p_start, p_stop), slice(i_start, i_stop)
+
+    d, h, w = shape
+    i_c, i_z, i_y, i_x = index
+    p_c = slice(0, patch.shape[0])
+    p_z, i_z = _new_slices(i_z, d, patch_halo[0])
+    p_y, i_y = _new_slices(i_y, h, patch_halo[1])
+    p_x, i_x = _new_slices(i_x, w, patch_halo[2])
+    return patch[(p_c, p_z, p_y, p_x)], (i_c, i_z, i_y, i_x)
+
+
+def _slice_from_pad(pad: int) -> slice:
+    return slice(None, None) if pad == 0 else slice(pad, -pad)
+
+
+class StandardPredictor:
+    """Run a forward fn over a subject's patches and stitch the volume."""
+
+    def __init__(self, forward_fn: Callable, output_dir: str, config,
+                 patch_halo: Sequence[int] = (0, 8, 8), out_channels: int = 1,
+                 output_heads: int = 3, **kwargs):
+        """
+        Args:
+          forward_fn: (a_batch [N,C,H,W] float32, slice_idx [N,1]) -> fake_B
+            numpy/jax array [N,1,H,W]; typically the jitted EMA generator.
+          output_dir: where the per-head NIfTI files go.
+          config: full config tree (used for halo validation).
+        """
+        self.forward_fn = forward_fn
+        self.output_dir = output_dir
+        self.config = config
+        self.patch_halo = tuple(patch_halo)
+        self.out_channels = out_channels
+        self.output_heads = output_heads
+
+    def __call__(self, test_loader) -> str:
+        dataset = test_loader.dataset
+        volume_shape = self._volume_shape(dataset)
+        if self.config is not None:
+            self._validate_halo(self.patch_halo,
+                                dict(self.config.loaders.test.slice_builder))
+
+        maps_shape = (self.out_channels,) + tuple(volume_shape)
+        heads = self.output_heads
+        prediction_maps = [np.zeros(maps_shape, np.float32) for _ in range(heads)]
+        normalization_masks = [np.zeros(maps_shape, np.uint16) for _ in range(heads)]
+
+        batch_size = test_loader.batch_size
+        for a_batch, slice_idx, indices in test_loader:
+            n = a_batch.shape[0]
+            if n < batch_size:  # pad ragged tail to keep the jit shape static
+                pad = batch_size - n
+                a_batch = np.concatenate(
+                    [a_batch, np.repeat(a_batch[-1:], pad, axis=0)], axis=0)
+                slice_idx = np.concatenate(
+                    [slice_idx, np.repeat(slice_idx[-1:], pad, axis=0)], axis=0)
+            predictions = np.asarray(self.forward_fn(a_batch, slice_idx))[:n]
+            if predictions.ndim == 4:  # 2-D model output -> add depth axis
+                predictions = predictions[:, :, None]  # [N, C, 1, H, W]
+
+            # input head: the center slice of the 4-slice window
+            if a_batch.shape[1] > 1:
+                inputs = a_batch[:n, 1:2]
+            else:
+                inputs = a_batch[:n]
+            inputs = inputs[:, :, None]
+
+            per_head = [predictions, predictions, inputs][:heads]
+            for head, (pred_batch, pmap, nmask) in enumerate(zip(
+                    per_head, prediction_maps, normalization_masks)):
+                for pred, index in zip(pred_batch, indices):
+                    index = (slice(0, self.out_channels),) + tuple(index)
+                    u_pred, u_index = remove_halo(pred, index, volume_shape,
+                                                  self.patch_halo)
+                    pmap[u_index] += u_pred
+                    nmask[u_index] += 1
+
+        return self._save_results(prediction_maps, normalization_masks, dataset)
+
+    @staticmethod
+    def _volume_shape(dataset):
+        raw = next(iter(dataset.raw.values()))
+        return raw.shape if raw.ndim == 3 else raw.shape[1:]
+
+    def _save_results(self, prediction_maps, normalization_masks, dataset):
+        os.makedirs(self.output_dir, exist_ok=True)
+        base = os.path.splitext(os.path.basename(dataset.file_path))[0]
+        base = base.split(".")[0]
+        out_paths = []
+        for i, (pmap, nmask) in enumerate(zip(prediction_maps,
+                                              normalization_masks)):
+            out = pmap / np.maximum(nmask, 1)
+            if getattr(dataset, "mirror_padding", None) is not None:
+                z_s, y_s, x_s = [_slice_from_pad(p)
+                                 for p in dataset.mirror_padding]
+                out = out[:, z_s, y_s, x_s]
+            path = os.path.join(self.output_dir, f"{base}_predictions{i}.nii.gz")
+            write_nifti(path, np.squeeze(out))
+            out_paths.append(path)
+        return out_paths[0]
+
+    @staticmethod
+    def _validate_halo(patch_halo, slice_builder_config):
+        patch = slice_builder_config["patch_shape"]
+        stride = slice_builder_config["stride_shape"]
+        overlap = np.subtract(patch, stride)
+        assert np.all(overlap - np.asarray(patch_halo) >= 0), \
+            f"Not enough patch overlap for stride {stride} and halo {patch_halo}"
+
+
+_PREDICTORS = {"StandardPredictor": StandardPredictor}
+
+
+def get_predictor(name: str):
+    return _PREDICTORS[name]

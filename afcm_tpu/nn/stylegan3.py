@@ -397,6 +397,11 @@ class SynthesisNetwork(nn.Module):
     conv_clamp: Optional[float] = 256
     magnitude_ema_beta: float = 0.999
     global_w_dim: int = 512 * 2
+    # Compute dtype for the conv stack ("float32" | "bfloat16").  Styles,
+    # demodulation and the co-modulation head stay fp32; bf16 halves HBM
+    # traffic of the 2x-rate lrelu intermediates and engages the MXU bf16
+    # path.  Output is always cast back to fp32.
+    compute_dtype: str = "float32"
 
     @property
     def layout(self) -> SynthesisLayout:
@@ -429,6 +434,7 @@ class SynthesisNetwork(nn.Module):
 
         m = layout.margin_size
         x = jnp.pad(img_in, ((0, 0), (0, 0), (m, m), (m, m)))
+        x = x.astype(jnp.dtype(self.compute_dtype))
 
         records = dict(layout.encoder_records)
         e_features: Dict[int, jnp.ndarray] = {}
@@ -444,7 +450,7 @@ class SynthesisNetwork(nn.Module):
                              activation="lrelu", conv_clamp=None,
                              name="e_16x16")(x)
         pooled = adaptive_avg_pool2d(pooled, (4, 4))
-        pooled = pooled.reshape(pooled.shape[0], -1)
+        pooled = pooled.reshape(pooled.shape[0], -1).astype(jnp.float32)
         pooled = FullyConnected(layout.bottleneck_channels * 16,
                                 self.global_w_dim, activation="lrelu",
                                 name="fc_in")(pooled)

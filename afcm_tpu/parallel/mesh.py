@@ -1,0 +1,77 @@
+"""Device mesh + sharding helpers.
+
+Scaling strategy (SURVEY.md §2.9): the one real parallelism requirement of
+this workload is data parallelism over slice batches.  We express it the
+XLA-native way — a `jax.sharding.Mesh` with a ``data`` axis (plus a spare
+``model`` axis for channel sharding of the big dense layers), batch arrays
+sharded on axis 0, parameters replicated — and let GSPMD insert the ICI
+all-reduces for the gradient sums.  The same jitted train step runs unchanged
+on 1 chip or N.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(mesh_shape: Sequence[int] = (0, 1),
+              devices=None) -> Mesh:
+    """Create a (data, model) mesh; data size 0 means 'all remaining devices'."""
+    devices = list(devices if devices is not None else jax.devices())
+    data, model = mesh_shape
+    if model <= 0:
+        model = 1
+    if data <= 0:
+        data = len(devices) // model
+    assert data * model <= len(devices), \
+        f"mesh {data}x{model} needs more than {len(devices)} devices"
+    dev_array = np.asarray(devices[:data * model]).reshape(data, model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def make_mesh_for_batch(mesh_shape: Sequence[int], batch_size: int,
+                        devices=None) -> Mesh:
+    """Like `make_mesh`, but clamps the data axis to the largest divisor of
+    the global batch size (so a batch-2 smoke run on an 8-device host works)."""
+    devices = list(devices if devices is not None else jax.devices())
+    data, model = mesh_shape
+    if model <= 0:
+        model = 1
+    max_data = max(len(devices) // model, 1) if data <= 0 else data
+    while max_data > 1 and batch_size % max_data != 0:
+        max_data -= 1
+    return make_mesh((max_data, model), devices)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place a host batch onto the mesh, sharded along the batch dimension."""
+    sharding = batch_sharding(mesh)
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def replicate_state(state, mesh: Mesh):
+    """Replicate a pytree (train state / params) across the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.device_put(state, sharding)
+
+
+def local_batch_size(global_batch: int, mesh: Mesh) -> int:
+    n_data = mesh.shape[DATA_AXIS]
+    assert global_batch % n_data == 0, \
+        f"batch {global_batch} not divisible by data-parallel size {n_data}"
+    return global_batch // n_data

@@ -1,0 +1,166 @@
+"""Training entry point.
+
+    python -m afcm_tpu.train --config-file configs/adni/stylegan3/cmsr.yml \
+        [--model stylegan3] [key value ...]
+
+Mirrors the reference loop (reference: train.py): epoch loop with linear LR
+decay, periodic loss logging, periodic validation (PSNR/SSIM) with
+best-by-SSIM checkpointing — but the whole D+G+EMA iteration is one jitted
+XLA program and batches stream onto the device mesh.
+"""
+
+from __future__ import annotations
+
+import random
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import default_argument_parser
+from .data import get_train_loaders
+from .models import build_gan_model
+from .parallel import make_mesh_for_batch, replicate_state, shard_batch
+from .utils import checkpoint as ckpt
+from .utils.metrics import evaluate_2D
+from .utils.visualizer import Visualizer
+
+
+def lr_factor(epoch: int, cfg) -> float:
+    """Linear decay factor (reference: models/utils.py:56-60)."""
+    if cfg.scheduler.lr_policy == "linear":
+        return 1.0 - max(0, epoch - cfg.scheduler.n_epochs) / \
+            float(cfg.scheduler.n_epochs_decay + 1)
+    raise NotImplementedError(f"lr policy {cfg.scheduler.lr_policy}")
+
+
+def validate(model, state, val_loader, rng) -> Optional[Dict[str, float]]:
+    """PSNR/SSIM over the val split (reference: train.py:83-106)."""
+    c_psnr, c_ssim = [], []
+    for i, batch in enumerate(val_loader):
+        rng, sub = jax.random.split(rng)
+        fake = np.asarray(model.eval_step(state, jnp.asarray(batch["A"]),
+                                          jnp.asarray(batch["slice_idx"]), sub))
+        preds = np.clip((fake[:, None] + 1) / 2, 0, 1)
+        real = np.clip((batch["B"][:, None] + 1) / 2, 0, 1)
+        result = evaluate_2D(preds, real)
+        if result is None:
+            continue
+        c_psnr.append(result[0])
+        c_ssim.append(result[1])
+    if not c_psnr:
+        return None
+    return {"psnr": float(np.mean(c_psnr)), "ssim": float(np.mean(c_ssim))}
+
+
+def train(cfg, max_iters: Optional[int] = None) -> Dict[str, float]:
+    seed = cfg.manual_seed if cfg.manual_seed is not None else 0
+    random.seed(seed)
+    np.random.seed(seed)
+    rng = jax.random.PRNGKey(seed)
+
+    loaders = get_train_loaders(cfg, seed=seed)
+    dataset_size = len(loaders["train"].dataset)
+    print(f"The number of training images = {dataset_size}")
+
+    model = build_gan_model(cfg)
+    rng, init_rng = jax.random.split(rng)
+    sample_batch = next(iter(loaders["train"]))
+    sample_batch = {k: jnp.asarray(v) for k, v in sample_batch.items()
+                    if k in ("A", "B", "slice_idx")}
+    state = model.init_state(init_rng, sample_batch)
+
+    run_dir = f"{cfg.checkpoints_dir}/{cfg.name}"
+    if cfg.continue_train:
+        tag = str(cfg.epoch) if cfg.epoch else "latest"
+        if ckpt.checkpoint_exists(run_dir, tag):
+            print(f"resuming from {run_dir}/{tag}")
+            state = ckpt.load_state(state, run_dir, tag)
+
+    mesh = make_mesh_for_batch(tuple(cfg.tpu.mesh_shape),
+                               cfg.loaders.batch_size)
+    multi_device = mesh.devices.size > 1
+    if multi_device:
+        state = replicate_state(state, mesh)
+
+    visualizer = Visualizer(cfg)
+    total_iters = 0
+    ssim_max = 0.0
+    max_iters = max_iters or (cfg.trainer.max_iters or None)
+    last_val = {}
+
+    n_total_epochs = cfg.scheduler.n_epochs + cfg.scheduler.n_epochs_decay
+    stop = False
+    for epoch in range(cfg.scheduler.epoch_count, n_total_epochs + 1):
+        epoch_start = time.time()
+        factor = lr_factor(epoch, cfg)
+        state = state.with_lr(cfg.optimizer.lr_G * factor,
+                              cfg.optimizer.lr_D * factor)
+        iter_data_time = time.time()
+
+        for batch in loaders["train"]:
+            iter_start = time.time()
+            t_data = iter_start - iter_data_time
+            total_iters += cfg.loaders.batch_size
+
+            device_batch = {k: v for k, v in batch.items()
+                            if k in ("A", "B", "slice_idx")}
+            if multi_device:
+                device_batch = shard_batch(device_batch, mesh)
+            else:
+                device_batch = {k: jnp.asarray(v)
+                                for k, v in device_batch.items()}
+
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = model.train_step(state, device_batch, step_rng,
+                                              jnp.asarray(float(total_iters)))
+
+            if total_iters % cfg.trainer.print_freq < cfg.loaders.batch_size:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                t_comp = (time.time() - iter_start) / cfg.loaders.batch_size
+                visualizer.print_current_losses(epoch, total_iters, metrics,
+                                                t_comp, t_data)
+
+            if total_iters % cfg.trainer.save_latest_freq < cfg.loaders.batch_size:
+                ckpt.save_state(state, run_dir, "latest")
+                rng, val_rng = jax.random.split(rng)
+                val = validate(model, state, loaders["val"], val_rng)
+                if val:
+                    last_val = val
+                    visualizer.plot_val_results(val)
+                    print(f" ^^^VALIDATION   psnr:{val['psnr']:.6}, "
+                          f"ssim:{val['ssim']:.6}", flush=True)
+                    if val["ssim"] > ssim_max:
+                        ssim_max = val["ssim"]
+                        ckpt.save_state(state, run_dir, "best")
+
+            iter_data_time = time.time()
+            if max_iters and total_iters >= max_iters:
+                stop = True
+                break
+
+        if epoch % cfg.trainer.save_epoch_freq == 0:
+            ckpt.save_state(state, run_dir, "latest")
+            ckpt.save_state(state, run_dir, str(epoch))
+        print(f"End of epoch {epoch} / {n_total_epochs} \t "
+              f"Time Taken: {time.time() - epoch_start:.0f} sec", flush=True)
+        if stop:
+            break
+
+    ckpt.save_state(state, run_dir, "latest")
+    ckpt.save_generator_only(state, run_dir, "latest")
+    rng, val_rng = jax.random.split(rng)
+    final_val = validate(model, state, loaders["val"], val_rng) or last_val
+    return final_val or {}
+
+
+def main(argv=None):
+    cfg = default_argument_parser(argv)
+    print(cfg.dump())
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

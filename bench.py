@@ -1,0 +1,77 @@
+"""Benchmark: CMSR inference throughput of the flagship alias-free generator.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Metric: 256^2 MR slices/sec/chip for the full-size AFCM CMSR generator
+(G_ema forward: 8-layer mapping + 14 encoder + 15 synthesis alias-free
+layers, 58.5M params), fp32, on the attached TPU chip.
+
+Baseline (see BASELINE.md): the reference repo publishes no numbers; the
+BASELINE.json north-star is ">=5x A100 slice-synthesis throughput".  We
+anchor the A100 reference at 50 slices/sec (estimated: ~0.8 TFLOP/slice
+fp32 at 30-50%% utilization of 19.5 TF/s — to be replaced by a measured
+number when GPU access exists), so vs_baseline = value / 250.
+"""
+
+import json
+import sys
+import time
+
+A100_ESTIMATE_SLICES_PER_SEC = 50.0
+TARGET = 5.0 * A100_ESTIMATE_SLICES_PER_SEC
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from afcm_tpu.nn import Stylegan3Generator
+
+    gen = Stylegan3Generator(
+        z_dim=512, c_dim=1, w_dim=512, img_resolution=256,
+        img_channels_in=4, img_channels_out=1,
+        mapping_kwargs=dict(num_layers=8),
+        synthesis_kwargs=dict(channel_base=16384, channel_max=512,
+                              num_layers=14, skip_resolution=128,
+                              lrelu_upsampling=2, conv_clamp=256))
+
+    rng = np.random.RandomState(0)
+    best = 0.0
+    results = {}
+    for batch in (8, 16, 32):
+        z = jnp.asarray(rng.randn(batch, 512), jnp.float32)
+        c = jnp.asarray(rng.rand(batch, 1), jnp.float32)
+        cond = jnp.asarray(rng.randn(batch, 4, 256, 256).clip(-1, 1),
+                           jnp.float32)
+        try:
+            variables = jax.jit(gen.init)(jax.random.PRNGKey(0), z, c, cond)
+            fwd = jax.jit(lambda v, z, c, x: gen.apply(v, z, c, x))
+            out = fwd(variables, z, c, cond)
+            np.asarray(out)  # warm + sync
+            iters = 10
+            t0 = time.time()
+            for _ in range(iters):
+                out = fwd(variables, z, c, cond)
+            np.asarray(out)
+            dt = (time.time() - t0) / iters
+            sps = batch / dt
+            results[batch] = round(sps, 2)
+            best = max(best, sps)
+        except Exception as exc:  # OOM at large batch etc.
+            print(f"batch {batch} failed: {exc!r}", file=sys.stderr)
+        finally:
+            del z, c, cond
+
+    print(json.dumps({
+        "metric": "256^2 MR slices/sec/chip (CMSR inference, fp32 G_ema fwd)",
+        "value": round(best, 2),
+        "unit": "slices/sec/chip",
+        "vs_baseline": round(best / TARGET, 4),
+        "detail": {"per_batch": results,
+                   "baseline": f"5x A100-estimate = {TARGET} slices/sec"},
+    }))
+
+
+if __name__ == "__main__":
+    main()
