@@ -40,10 +40,12 @@ def build_generator(g_cfg: Dict[str, Any]):
         raise NotImplementedError(f"Generator model name [{net_g}] is not recognized")
 
     synthesis_kwargs = dict(g_cfg.pop("synthesis_kwargs", {}) or {})
-    synthesis_kwargs.pop("name", None)
+    synth_name = synthesis_kwargs.pop("name", None)
     mapping_kwargs = dict(g_cfg.pop("mapping_kwargs", {}) or {})
     allowed = _SG3_SYNTH_KEYS if net_g == "stylegan3" else _COMOD_SYNTH_KEYS
     synthesis_kwargs = {k: v for k, v in synthesis_kwargs.items() if k in allowed}
+    if net_g == "comodgan" and synth_name:
+        synthesis_kwargs["name"] = synth_name
     if net_g == "stylegan3":
         mapping_kwargs = {k: v for k, v in mapping_kwargs.items()
                           if k in ("num_layers", "lr_multiplier", "w_avg_beta")}

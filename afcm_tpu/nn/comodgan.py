@@ -359,6 +359,23 @@ class RefMappingNetwork(nn.Module):
         return x
 
 
+def get_synthesizer(name: str):
+    """Synthesizer registry (reference: generator.py:21-24 uses reflection;
+    here the families are a closed set)."""
+    if name == "SynthesisNetwork":
+        return CoModSynthesisNetwork
+    if name == "CASynthesisNetwork":
+        from .ca_variants import CASynthesisNetwork
+        return CASynthesisNetwork
+    if name == "CAINSynthesisNetwork":
+        from .ca_variants import CAINSynthesisNetwork
+        return CAINSynthesisNetwork
+    if name == "MotionSynthesisNetwork":
+        from .motion import MotionSynthesisNetwork
+        return MotionSynthesisNetwork
+    raise NotImplementedError(f"synthesizer {name}")
+
+
 class CoModGenerator(nn.Module):
     """mapping + co-modulated synthesis (reference: generator.py:545-572)."""
 
@@ -373,8 +390,9 @@ class CoModGenerator(nn.Module):
 
     def setup(self):
         synthesis_kwargs = dict(self.synthesis_kwargs or {})
-        synthesis_kwargs.pop("name", None)
-        self.synthesis = CoModSynthesisNetwork(
+        synth_name = synthesis_kwargs.pop("name", "SynthesisNetwork")
+        synthesis_cls = get_synthesizer(synth_name)
+        self.synthesis = synthesis_cls(
             w_dim=self.w_dim, img_resolution=self.img_resolution,
             img_channels_in=self.img_channels_in,
             img_channels_out=self.img_channels_out, **synthesis_kwargs)
