@@ -54,6 +54,54 @@ def gan_loss(mode: str, logits, target_is_real: bool):
     raise NotImplementedError(f"gan mode {mode}")
 
 
+def cal_gradient_penalty(d_fn, real_data, fake_data, rng, mode: str = "mixed",
+                         constant: float = 1.0, lambda_gp: float = 10.0):
+    """WGAN-GP gradient penalty (reference: models/utils.py:282-316)."""
+    if lambda_gp <= 0:
+        return jnp.zeros(()), None
+    if mode == "real":
+        interp = real_data
+    elif mode == "fake":
+        interp = fake_data
+    elif mode == "mixed":
+        alpha = jax.random.uniform(rng, (real_data.shape[0],) +
+                                   (1,) * (real_data.ndim - 1))
+        interp = alpha * real_data + (1 - alpha) * fake_data
+    else:
+        raise NotImplementedError(mode)
+
+    def scalar_d(x):
+        return jnp.sum(d_fn(x))
+
+    grads = jax.grad(scalar_d)(interp)
+    grads = grads.reshape(real_data.shape[0], -1)
+    norms = jnp.linalg.norm(grads + 1e-16, axis=1)
+    penalty = jnp.mean(jnp.square(norms - constant)) * lambda_gp
+    return penalty, grads
+
+
+def dice_loss_1class(pred_logits, target, smooth: float = 0.01):
+    """Binary dice on thresholded sigmoid (reference: models/utils.py:349-370)."""
+    n = target.shape[0]
+    pred = (jax.nn.sigmoid(pred_logits) > 0.5).astype(jnp.float32)
+    pred = pred.reshape(n, -1)
+    target = target.reshape(n, -1).astype(jnp.float32)
+    rev_p, rev_t = 1 - pred, 1 - target
+    inter1 = jnp.sum(pred * target, axis=1)
+    inter2 = jnp.sum(rev_p * rev_t, axis=1)
+    loss = (2 * (inter1 + inter2) + smooth) / (
+        jnp.sum(pred, 1) + jnp.sum(rev_p, 1) + jnp.sum(target, 1) +
+        jnp.sum(rev_t, 1) + smooth)
+    return 1 - jnp.sum(loss) / n
+
+
+def bce_dice_loss(pred_logits, target, alpha: float = 1.0, beta: float = 1.0):
+    """Linear BCE + dice combo (reference: models/utils.py:373-385)."""
+    bce = jnp.mean(optax.sigmoid_binary_cross_entropy(
+        pred_logits, target.astype(jnp.float32)))
+    return alpha * bce + beta * dice_loss_1class(pred_logits, target)
+
+
 def nan_to_num_grads(grads):
     """Per-step gradient scrubbing (reference: comodgan_model.py:170-182)."""
     return jax.tree.map(
