@@ -184,6 +184,58 @@ class AbstractVolumeDataset:
             return sample
         return sample["A"], slice_idx, self.raw_slices[idx]
 
+    # -- native batch fast path ---------------------------------------------
+
+    def _full_plane_slices(self) -> bool:
+        """True when every patch is a full z-slice (the shipped-config case),
+        enabling the native window-gather fast path."""
+        ref = self.raw[self.raw_internal_path[-1]]
+        if len(self.raw_slices) != ref.shape[0]:
+            return False
+        first = self.raw_slices[0]
+        return (first[1].stop - first[1].start == ref.shape[1] and
+                first[2].stop - first[2].start == ref.shape[2])
+
+    def get_batch(self, indices, rng=None):
+        """Assemble a whole batch with the native gather when eligible;
+        semantics identical to stacking `get_item` results."""
+        rng = rng or _random
+        if (self._norm_range is None or self.slice_num != 4 or
+                self.cat_inputs or not self._full_plane_slices()):
+            return None
+        from ..native import assemble_windows
+        lo, hi = self._norm_range
+
+        n = len(indices)
+        win_a = np.empty((n, 4), dtype=np.int32)
+        win_b = np.empty((n, 1), dtype=np.int32)
+        slice_idx = np.empty((n, 1), dtype=np.float32)
+        mods_a, mods_b = [], []
+        for i, idx in enumerate(indices):
+            thickness = self._pick_thickness(rng)
+            modality_as, modality_b = self._pick_modalities(rng)
+            window, idx_a = self._window_indices(idx, thickness)
+            win_a[i] = [(-1 if z is None else z) for z in window]
+            win_b[i] = idx
+            slice_idx[i, 0] = (idx - idx_a) / thickness
+            mods_a.append(modality_as[0])
+            mods_b.append(modality_b)
+
+        def gather(mods, windows):
+            if len(set(mods)) == 1:
+                return assemble_windows(self.raw[mods[0]], windows, lo, hi)
+            out = np.empty(windows.shape + self.raw[mods[0]].shape[1:],
+                           dtype=np.float32)
+            for i, mod in enumerate(mods):
+                out[i] = assemble_windows(self.raw[mod], windows[i:i + 1],
+                                          lo, hi)[0]
+            return out
+
+        batch = {"A": gather(mods_a, win_a), "slice_idx": slice_idx}
+        if self.phase != "test":
+            batch["B"] = gather(mods_b, win_b)
+        return batch
+
     def _slice(self, vol, raw_idx, fast: bool):
         patch = vol[raw_idx]
         if fast:
@@ -274,3 +326,33 @@ class CmsrDataset:
         ds_idx = int(np.searchsorted(self._offsets, index, side="right") - 1)
         return self.datasets[ds_idx].get_item(index - int(self._offsets[ds_idx]),
                                               rng=rng)
+
+    def get_batch(self, indices, rng=None):
+        """Batch assembly through the native fast path (grouped by subject);
+        returns None when any subject is ineligible so callers fall back."""
+        per_ds = {}
+        order = []
+        for pos, index in enumerate(indices):
+            ds_idx = int(np.searchsorted(self._offsets, index, side="right") - 1)
+            local = int(index) - int(self._offsets[ds_idx])
+            per_ds.setdefault(ds_idx, []).append((pos, local))
+            order.append((ds_idx, local))
+
+        parts = {}
+        for ds_idx, items in per_ds.items():
+            batch = self.datasets[ds_idx].get_batch([l for _, l in items],
+                                                    rng=rng)
+            if batch is None:
+                return None
+            parts[ds_idx] = (batch, [p for p, _ in items])
+
+        keys = next(iter(parts.values()))[0].keys()
+        n = len(indices)
+        out = {}
+        for key in keys:
+            sample = next(iter(parts.values()))[0][key]
+            out[key] = np.empty((n,) + sample.shape[1:], dtype=sample.dtype)
+            for batch, positions in parts.values():
+                for row, pos in enumerate(positions):
+                    out[key][pos] = batch[key][row]
+        return out

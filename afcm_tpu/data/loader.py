@@ -50,8 +50,14 @@ class TrainLoader:
         if self.shuffle:
             self._rng.shuffle(order)
         limit = len(self) * self.batch_size if self.drop_last else len(order)
+        get_batch = getattr(self.dataset, "get_batch", None)
         for start in range(0, limit, self.batch_size):
             idxs = order[start:start + self.batch_size]
+            if get_batch is not None:
+                batch = get_batch([int(i) for i in idxs], rng=self._pyrng)
+                if batch is not None:
+                    yield batch
+                    continue
             samples = [self.dataset.get_item(int(i), rng=self._pyrng)
                        for i in idxs]
             yield _stack(samples)

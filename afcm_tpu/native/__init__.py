@@ -1,0 +1,7 @@
+"""ctypes bindings for the native host-side data ops (with numpy fallback)."""
+
+from .build import get_native, have_native
+from .ops import accumulate_patches, assemble_windows
+
+__all__ = ["accumulate_patches", "assemble_windows", "get_native",
+           "have_native"]

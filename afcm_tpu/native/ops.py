@@ -1,0 +1,84 @@
+"""Python API over the native ops, with exact numpy fallbacks."""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Sequence
+
+import numpy as np
+
+from .build import get_native
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def assemble_windows(volume: np.ndarray, window_indices: np.ndarray,
+                     lo: float, hi: float) -> np.ndarray:
+    """Gather slice windows from a uint8 volume, normalized to [-1, 1].
+
+    Args:
+      volume: [D, H, W] uint8.
+      window_indices: [batch, slices_per_window] int32; -1 = zero padding.
+      lo / hi: Normalize range (e.g. 0, 255).
+    Returns [batch, slices_per_window, H, W] float32.
+    """
+    volume = np.ascontiguousarray(volume, dtype=np.uint8)
+    idx = np.ascontiguousarray(window_indices, dtype=np.int32)
+    batch, spw = idx.shape
+    d, h, w = volume.shape
+    inv_range = 1.0 / (hi - lo)
+    out = np.empty((batch, spw, h, w), dtype=np.float32)
+
+    lib = get_native()
+    if lib is not None:
+        lib.assemble_windows(_ptr(volume, ctypes.c_uint8), d, h, w,
+                             _ptr(idx, ctypes.c_int32), batch, spw,
+                             ctypes.c_float(lo), ctypes.c_float(inv_range),
+                             _ptr(out, ctypes.c_float))
+        return out
+
+    # numpy fallback (identical semantics)
+    clipped = np.clip(idx, 0, d - 1)
+    gathered = volume[clipped.reshape(-1)].astype(np.float32)
+    gathered = np.clip(2 * (gathered - lo) * inv_range - 1, -1, 1)
+    pad_value = np.clip(2 * (0.0 - lo) * inv_range - 1, -1, 1)
+    invalid = (idx < 0) | (idx >= d)
+    gathered[invalid.reshape(-1)] = pad_value
+    return gathered.reshape(batch, spw, h, w)
+
+
+def accumulate_patches(pmap: np.ndarray, nmask: np.ndarray,
+                       patches: np.ndarray, coords: np.ndarray,
+                       offsets: np.ndarray, sizes: np.ndarray):
+    """Overlap-add halo-cropped patches into [D, H, W] accumulators in place.
+
+    coords[b] = (z, y0, x0) destination origin; offsets[b] = (oy, ox) source
+    offset inside the patch; sizes[b] = (h, w) of the cropped region.
+    """
+    assert pmap.dtype == np.float32 and nmask.dtype == np.uint16
+    patches = np.ascontiguousarray(patches, dtype=np.float32)
+    coords = np.ascontiguousarray(coords, dtype=np.int32)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int32)
+    sizes = np.ascontiguousarray(sizes, dtype=np.int32)
+    batch, ph, pw = patches.shape
+    d, h, w = pmap.shape
+
+    lib = get_native()
+    if lib is not None and pmap.flags["C_CONTIGUOUS"] and \
+            nmask.flags["C_CONTIGUOUS"]:
+        lib.accumulate_patches(_ptr(pmap, ctypes.c_float),
+                               _ptr(nmask, ctypes.c_uint16), d, h, w,
+                               _ptr(patches, ctypes.c_float), batch, ph, pw,
+                               _ptr(coords, ctypes.c_int32),
+                               _ptr(offsets, ctypes.c_int32),
+                               _ptr(sizes, ctypes.c_int32))
+        return
+
+    for b in range(batch):
+        z, y0, x0 = coords[b]
+        oy, ox = offsets[b]
+        ch, cw = sizes[b]
+        pmap[z, y0:y0 + ch, x0:x0 + cw] += patches[b, oy:oy + ch, ox:ox + cw]
+        nmask[z, y0:y0 + ch, x0:x0 + cw] += 1

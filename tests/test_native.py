@@ -1,0 +1,76 @@
+"""Native C++ data ops vs numpy fallback + dataset-path equivalence."""
+
+import numpy as np
+import pytest
+
+from afcm_tpu.native import (accumulate_patches, assemble_windows,
+                             have_native)
+from afcm_tpu.native import ops as native_ops
+
+
+def test_native_builds():
+    assert have_native(), "g++ toolchain expected in this environment"
+
+
+def test_assemble_windows_matches_fallback(rng, monkeypatch):
+    volume = (rng.rand(10, 32, 32) * 255).astype(np.uint8)
+    idx = np.array([[-1, 0, 4, 8], [0, 2, 9, 12]], dtype=np.int32)
+    got = assemble_windows(volume, idx, 0.0, 255.0)
+
+    monkeypatch.setattr(native_ops, "get_native", lambda: None)
+    want = assemble_windows(volume, idx, 0.0, 255.0)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # out-of-range rows become the normalized zero value (-1 for [0,255])
+    np.testing.assert_allclose(got[0, 0], -1.0)
+    np.testing.assert_allclose(got[1, 3], -1.0)  # idx 12 >= depth
+
+
+def test_assemble_windows_matches_dataset_normalize(rng):
+    volume = (rng.rand(6, 16, 16) * 255).astype(np.uint8)
+    idx = np.array([[1, 2, 3, 4]], dtype=np.int32)
+    got = assemble_windows(volume, idx, 0.0, 255.0)
+    want = np.clip(2 * (volume[1:5].astype(np.float32) / 255.0) - 1, -1, 1)
+    np.testing.assert_allclose(got[0], want, atol=1e-6)
+
+
+def test_native_batch_matches_per_item_path(tmp_path, rng):
+    """CmsrDataset.get_batch (native gather) == stacked get_item results."""
+    import os
+    from afcm_tpu.data import CmsrDataset
+    from afcm_tpu.data.demo import write_demo_tree
+    from tests.test_data import _loaders_config
+
+    root = write_demo_tree(str(tmp_path / "h5"), n_train=0, n_val=2, n_test=0,
+                           depth=12, size=96)
+    cfg = _loaders_config(root)
+    ds = CmsrDataset(cfg, phase="val")
+    idxs = [0, 3, 7, 13]  # spans both subjects
+    batch = ds.get_batch(idxs)
+    assert batch is not None, "native fast path should be eligible"
+    for i, idx in enumerate(idxs):
+        item = ds.get_item(idx)
+        np.testing.assert_allclose(batch["A"][i], item["A"], atol=1e-6)
+        np.testing.assert_allclose(batch["B"][i], item["B"], atol=1e-6)
+        np.testing.assert_allclose(batch["slice_idx"][i], item["slice_idx"],
+                                   atol=1e-7)
+
+
+def test_accumulate_patches_matches_fallback(rng, monkeypatch):
+    d, h, w = 4, 32, 32
+    patches = rng.randn(3, 16, 16).astype(np.float32)
+    coords = np.array([[0, 0, 0], [1, 8, 8], [1, 10, 10]], dtype=np.int32)
+    offsets = np.array([[0, 0], [2, 2], [0, 4]], dtype=np.int32)
+    sizes = np.array([[16, 16], [12, 12], [10, 8]], dtype=np.int32)
+
+    pmap1 = np.zeros((d, h, w), np.float32)
+    nmask1 = np.zeros((d, h, w), np.uint16)
+    accumulate_patches(pmap1, nmask1, patches, coords, offsets, sizes)
+
+    monkeypatch.setattr(native_ops, "get_native", lambda: None)
+    pmap2 = np.zeros((d, h, w), np.float32)
+    nmask2 = np.zeros((d, h, w), np.uint16)
+    accumulate_patches(pmap2, nmask2, patches, coords, offsets, sizes)
+
+    np.testing.assert_allclose(pmap1, pmap2, atol=1e-6)
+    np.testing.assert_array_equal(nmask1, nmask2)
+    assert nmask1.max() >= 2  # overlapping region accumulated twice
