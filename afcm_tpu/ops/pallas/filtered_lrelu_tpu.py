@@ -89,17 +89,19 @@ def _flrelu_plan(in_h: int, in_w: int, fu, fd, up: int, down: int,
                 clamp=None if clamp is None else float(clamp))
 
 
-def _apply_fir_lastdim(x, table, out_len: int, pad_lo: int):
-    """y[.., i] = sum coeff * x[.., i + off + pad_lo]; caller guarantees the
-    padded x covers every (i + off + pad_lo) in [0, xlen)."""
+def _apply_fir(x, table, out_len: int, pad_lo: int, axis: int):
+    """y[.., i, ..] = sum coeff * x[.., i + off + pad_lo, ..] along `axis`;
+    the caller guarantees the padded x covers every access."""
     acc = None
     for coeff, off in table:
         start = off + pad_lo
-        seg = jax.lax.slice_in_dim(x, start, start + out_len, axis=x.ndim - 1)
+        seg = jax.lax.slice_in_dim(x, start, start + out_len, axis=axis)
         term = seg * coeff
         acc = term if acc is None else acc + term
     if acc is None:
-        acc = jnp.zeros(x.shape[:-1] + (out_len,), x.dtype)
+        shape = list(x.shape)
+        shape[axis] = out_len
+        acc = jnp.zeros(tuple(shape), x.dtype)
     return acc
 
 
@@ -124,6 +126,17 @@ def _make_kernel(plan):
     xpad_h = in_h + pad_lo_y + pad_hi_y
     xpad_w = in_w + pad_lo_x + pad_hi_x
 
+    def _down_pass(planes, tables, axis: int, out_len: int):
+        """Separable down-FIR along `axis` over per-phase planes."""
+        acc = None
+        for coeff, phase, base in tables:
+            seg = jax.lax.slice_in_dim(planes[phase], base,
+                                       base + (out_len - 1) * dpu + 1,
+                                       stride=dpu, axis=axis)
+            term = seg * coeff
+            acc = term if acc is None else acc + term
+        return acc
+
     def kernel(x_ref, b_ref, o_ref):
         x = x_ref[0].astype(jnp.float32) + b_ref[0, 0].astype(jnp.float32)
 
@@ -131,36 +144,27 @@ def _make_kernel(plan):
         xpad = jax.lax.dynamic_update_slice(xpad, x, (pad_lo_y, pad_lo_x))
 
         # x-direction up-FIR phase planes: tx[px] is [xpad_h, plane_w].
-        tx = [_apply_fir_lastdim(xpad, plan["up_tables_x"][px], plane_w,
-                                 pad_lo_x) for px in range(up)]
+        tx = [_apply_fir(xpad, plan["up_tables_x"][px], plane_w, pad_lo_x,
+                         axis=1) for px in range(up)]
 
-        # y-direction pass + activation -> t2[py][px] [plane_h, plane_w].
-        t2 = []
+        # y-direction pass + activation -> t2[py][px] [plane_h, plane_w];
+        # then x-direction down immediately (separable): xd[py] planes.
+        xd = []
         for py in range(up):
             row = []
             for px in range(up):
-                t = jnp.swapaxes(tx[px], 0, 1)           # [plane_w, xpad_h]
-                t = _apply_fir_lastdim(t, plan["up_tables_y"][py], plane_h,
-                                       pad_lo_y)
-                t = jnp.swapaxes(t, 0, 1)                # [plane_h, plane_w]
+                t = _apply_fir(tx[px], plan["up_tables_y"][py], plane_h,
+                               pad_lo_y, axis=0)
                 t = t * gain
                 t = jnp.where(t >= 0, t, t * slope)
                 if clamp is not None:
                     t = jnp.clip(t, -clamp, clamp)
                 row.append(t)
-            t2.append(row)
+            xd.append(_down_pass(row, plan["down_tables"], axis=1,
+                                 out_len=out_w))
 
-        # down-FIR over the static phase decomposition.
-        acc = jnp.zeros((out_h, out_w), jnp.float32)
-        for cy, py, by in plan["down_tables"]:
-            for cx, px, bx in plan["down_tables"]:
-                t = t2[py][px]
-                seg = jax.lax.slice(
-                    t, (by, bx),
-                    (by + (out_h - 1) * dpu + 1, bx + (out_w - 1) * dpu + 1),
-                    (dpu, dpu))
-                acc = acc + seg * (cy * cx)
-        o_ref[0] = acc.astype(o_ref.dtype)
+        out = _down_pass(xd, plan["down_tables"], axis=0, out_len=out_h)
+        o_ref[0] = out.astype(o_ref.dtype)
 
     return kernel
 

@@ -86,6 +86,12 @@ def train(cfg, max_iters: Optional[int] = None) -> Dict[str, float]:
         state = replicate_state(state, mesh)
 
     visualizer = Visualizer(cfg)
+    # Persist the exact experiment config next to its checkpoints (the
+    # durable analog of the reference's source-pickling `persistence`).
+    import os
+    os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, "config.yml"), "w") as f:
+        f.write(cfg.dump())
     total_iters = 0
     ssim_max = 0.0
     max_iters = max_iters or (cfg.trainer.max_iters or None)
@@ -116,6 +122,15 @@ def train(cfg, max_iters: Optional[int] = None) -> Dict[str, float]:
             rng, step_rng = jax.random.split(rng)
             state, metrics = model.train_step(state, device_batch, step_rng,
                                               jnp.asarray(float(total_iters)))
+
+            if total_iters % cfg.trainer.display_freq < cfg.loaders.batch_size:
+                rng, vis_rng = jax.random.split(rng)
+                fake = model.eval_step(
+                    state, jnp.asarray(batch["A"][:1]),
+                    jnp.asarray(batch["slice_idx"][:1]), vis_rng)
+                visualizer.display_current_results(
+                    {"real_A": batch["A"][:1, 1:2], "fake_B": np.asarray(fake),
+                     "real_B": batch["B"][:1]}, epoch)
 
             if total_iters % cfg.trainer.print_freq < cfg.loaders.batch_size:
                 metrics = {k: float(v) for k, v in metrics.items()}

@@ -107,6 +107,43 @@ def evaluate_3D(g_img, l_img) -> Tuple[float, float, float]:
             mae(l_img, g_img))
 
 
+def threed_psnr(g_img, l_img) -> float:
+    """Tri-axial per-slice PSNR average (reference: evaluation.py:40-68)."""
+    g_img = np.asarray(g_img)
+    l_img = np.asarray(l_img)
+    c_psnr = 0.0
+    done = 0
+    for axis in range(3):
+        for i in range(g_img.shape[axis]):
+            t_l = np.squeeze(np.take(l_img, i, axis=axis))
+            t_g = np.squeeze(np.take(g_img, i, axis=axis))
+            d_range = float(max(t_l.max(), t_g.max()) -
+                            min(t_l.min(), t_g.min()))
+            if d_range == 0:
+                c_psnr += c_psnr / (done + 1)
+            else:
+                c_psnr += psnr(t_l, t_g, data_range=d_range)
+            done += 1
+    return c_psnr / sum(g_img.shape)
+
+
+def threed_ssim(g_img, l_img) -> float:
+    """Tri-axial per-slice SSIM average (reference: evaluation.py:6-18)."""
+    g_img = np.asarray(g_img)
+    l_img = np.asarray(l_img)
+    c_ssim = 0.0
+    for axis in range(3):
+        for i in range(g_img.shape[axis]):
+            c_ssim += ssim(np.squeeze(np.take(l_img, i, axis=axis)),
+                           np.squeeze(np.take(g_img, i, axis=axis)))
+    return c_ssim / sum(g_img.shape)
+
+
+def evaluate_one(g_img, l_img) -> Tuple[float, float, float]:
+    """Tri-axial PSNR/SSIM + MAE (reference: evaluation.py:107-114)."""
+    return threed_psnr(g_img, l_img), threed_ssim(g_img, l_img), mae(l_img, g_img)
+
+
 def threed_slice_psnr(g_img, l_img) -> float:
     c_psnr = 0.0
     count = 0
