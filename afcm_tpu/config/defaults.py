@@ -139,6 +139,7 @@ def get_default_cfg() -> CfgNode:
     c.tpu.compute_dtype = "float32"  # float32 | bfloat16
     c.tpu.matmul_precision = "default"  # default | high | highest
     c.tpu.remat = False
+    c.tpu.filtered_lrelu_impl = "xla"   # xla | pallas
     return c
 
 

@@ -65,6 +65,11 @@ def find_target_volume(cfg, subject: str) -> Optional[np.ndarray]:
 def main(argv=None):
     cfg = default_argument_parser(argv)
     print(cfg.dump())
+    from .ops.filtered_lrelu import set_default_impl
+    set_default_impl(getattr(cfg.tpu, "filtered_lrelu_impl", "xla"))
+    if cfg.tpu.matmul_precision != "default":
+        jax.config.update("jax_default_matmul_precision",
+                          cfg.tpu.matmul_precision)
 
     model = build_gan_model(cfg)
     run_dir = os.path.join(cfg.checkpoints_dir, cfg.name)

@@ -30,9 +30,24 @@ from .upfirdn2d import parse_padding
 from .upfirdn2d import upfirdn2d as _upfirdn2d_fn
 
 
+_DEFAULT_IMPL = "xla"
+
+
+def set_default_impl(impl: str):
+    """Select the global filtered_lrelu implementation: 'xla' or 'pallas'
+    (pallas falls back to xla per-configuration when unsupported)."""
+    global _DEFAULT_IMPL
+    assert impl in ("xla", "pallas")
+    _DEFAULT_IMPL = impl
+
+
+def get_default_impl() -> str:
+    return _DEFAULT_IMPL
+
+
 def filtered_lrelu(x, fu=None, fd=None, b=None, up=1, down=1, padding=0,
                    gain=np.sqrt(2), slope=0.2, clamp=None, flip_filter=False,
-                   impl="xla"):
+                   impl=None):
     """Filtered leaky ReLU for a batch of NCHW images.
 
     Args:
@@ -46,6 +61,8 @@ def filtered_lrelu(x, fu=None, fd=None, b=None, up=1, down=1, padding=0,
             supported configs, falling back to 'xla' otherwise).
     """
     assert x.ndim == 4
+    if impl is None:
+        impl = _DEFAULT_IMPL
     assert isinstance(up, (int, np.integer)) and up >= 1
     assert isinstance(down, (int, np.integer)) and down >= 1
     px0, px1, py0, py1 = parse_padding(padding)

@@ -137,11 +137,14 @@ def _make_kernel(plan):
             acc = term if acc is None else acc + term
         return acc
 
-    def kernel(x_ref, b_ref, o_ref):
-        x = x_ref[0].astype(jnp.float32) + b_ref[0, 0].astype(jnp.float32)
+    def kernel(x_ref, o_ref, xpad_ref):
+        # bias is pre-added outside the kernel (it fuses into the producing
+        # conv); the kernel fuses up-FIR + lrelu + down-FIR.
+        x = x_ref[0].astype(jnp.float32)
 
-        xpad = jnp.zeros((xpad_h, xpad_w), jnp.float32)
-        xpad = jax.lax.dynamic_update_slice(xpad, x, (pad_lo_y, pad_lo_x))
+        xpad_ref[...] = jnp.zeros((xpad_h, xpad_w), jnp.float32)
+        xpad_ref[pad_lo_y:pad_lo_y + in_h, pad_lo_x:pad_lo_x + in_w] = x
+        xpad = xpad_ref[...]
 
         # x-direction up-FIR phase planes: tx[px] is [xpad_h, plane_w].
         tx = [_apply_fir(xpad, plan["up_tables_x"][px], plane_w, pad_lo_x,
@@ -166,7 +169,7 @@ def _make_kernel(plan):
         out = _down_pass(xd, plan["down_tables"], axis=0, out_len=out_h)
         o_ref[0] = out.astype(o_ref.dtype)
 
-    return kernel
+    return kernel, (xpad_h, xpad_w)
 
 
 @functools.lru_cache(maxsize=None)
@@ -180,23 +183,25 @@ def _build_call(in_h, in_w, fu_key, fd_key, up, down, padding, gain, slope,
                         clamp)
     if plan is None:
         return None
-    kernel = _make_kernel(plan)
+    kernel, (xpad_h, xpad_w) = _make_kernel(plan)
     out_h, out_w = plan["out_h"], plan["out_w"]
     dtype = jnp.dtype(dtype_name)
 
-    def call(x2, b2):
+    from jax.experimental.pallas import tpu as pltpu
+
+    def call(x2):
         nc = x2.shape[0]
         return pl.pallas_call(
             kernel,
             grid=(nc,),
             in_specs=[
                 pl.BlockSpec((1, in_h, in_w), lambda i: (i, 0, 0)),
-                pl.BlockSpec((1, 1), lambda i: (i, 0)),
             ],
             out_specs=pl.BlockSpec((1, out_h, out_w), lambda i: (i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((nc, out_h, out_w), dtype),
+            scratch_shapes=[pltpu.VMEM((xpad_h, xpad_w), jnp.float32)],
             interpret=interpret,
-        )(x2, b2)
+        )(x2)
 
     return jax.jit(call)
 
@@ -208,6 +213,11 @@ def filtered_lrelu_pallas(x, fu, fd, b, up, down, padding, gain, slope, clamp,
         return None
     if (fu is not None and np.asarray(fu).ndim != 1) or \
             (fd is not None and np.asarray(fd).ndim != 1):
+        return None
+    # Mosaic only lowers stride-1 vector slices; the dpu > 1 down stage needs
+    # strided extracts, so compiled mode covers up == down only (the
+    # critically-sampled majority). Interpret mode exercises the general math.
+    if not interpret and down > up:
         return None
     n, c, in_h, in_w = x.shape
     fu_key = None if fu is None else \
@@ -222,10 +232,8 @@ def filtered_lrelu_pallas(x, fu, fd, b, up, down, padding, gain, slope, clamp,
     if call is None:
         return None
 
-    x2 = x.reshape(n * c, in_h, in_w)
     if b is not None:
-        b2 = jnp.tile(jnp.asarray(b, x.dtype), (n,)).reshape(n * c, 1)
-    else:
-        b2 = jnp.zeros((n * c, 1), x.dtype)
-    out = call(x2, b2)
+        x = x + jnp.asarray(b, x.dtype)[None, :, None, None]
+    x2 = x.reshape(n * c, in_h, in_w)
+    out = call(x2)
     return out.reshape(n, c, out.shape[1], out.shape[2])

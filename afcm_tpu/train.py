@@ -56,6 +56,11 @@ def validate(model, state, val_loader, rng) -> Optional[Dict[str, float]]:
 
 
 def train(cfg, max_iters: Optional[int] = None) -> Dict[str, float]:
+    from .ops.filtered_lrelu import set_default_impl
+    set_default_impl(getattr(cfg.tpu, "filtered_lrelu_impl", "xla"))
+    if cfg.tpu.matmul_precision != "default":
+        jax.config.update("jax_default_matmul_precision",
+                          cfg.tpu.matmul_precision)
     seed = cfg.manual_seed if cfg.manual_seed is not None else 0
     random.seed(seed)
     np.random.seed(seed)

@@ -84,3 +84,41 @@ def variables_to_state_dict(variables: Mapping) -> Dict[str, np.ndarray]:
     walk(variables.get("params", {}), "")
     walk(variables.get("moments", {}), "")
     return out
+
+
+def main():
+    """CLI: convert a reference .pth state_dict into a variables msgpack.
+
+        python -m afcm_tpu.utils.port G_ema.pth G_ema.msgpack
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(description=main.__doc__)
+    parser.add_argument("src", help="reference torch .pth state_dict")
+    parser.add_argument("dst", help="output .msgpack variables file")
+    args = parser.parse_args()
+
+    import torch
+    from flax import serialization
+
+    state_dict = torch.load(args.src, map_location="cpu")
+    if not isinstance(state_dict, dict):
+        state_dict = state_dict.state_dict()
+    variables = state_dict_to_variables(state_dict)
+    with open(args.dst, "wb") as f:
+        f.write(serialization.msgpack_serialize(
+            {k: v for k, v in variables.items()}))
+    n = len([1 for _ in _iter_leaves(variables)])
+    print(f"wrote {args.dst} ({n} tensors)")
+
+
+def _iter_leaves(tree):
+    for v in tree.values():
+        if isinstance(v, dict):
+            yield from _iter_leaves(v)
+        else:
+            yield v
+
+
+if __name__ == "__main__":
+    main()
