@@ -1,7 +1,9 @@
-from .mesh import (DATA_AXIS, MODEL_AXIS, batch_sharding, local_batch_size,
-                   make_mesh, make_mesh_for_batch, replicate_state,
-                   replicated_sharding, shard_batch)
+from .mesh import (DATA_AXIS, MODEL_AXIS, batch_sharding,
+                   infer_param_sharding, local_batch_size, make_mesh,
+                   make_mesh_for_batch, replicate_state, replicated_sharding,
+                   shard_batch, shard_params)
 
-__all__ = ["DATA_AXIS", "MODEL_AXIS", "batch_sharding", "local_batch_size",
-           "make_mesh", "make_mesh_for_batch", "replicate_state",
-           "replicated_sharding", "shard_batch"]
+__all__ = ["DATA_AXIS", "MODEL_AXIS", "batch_sharding",
+           "infer_param_sharding", "local_batch_size", "make_mesh",
+           "make_mesh_for_batch", "replicate_state", "replicated_sharding",
+           "shard_batch", "shard_params"]

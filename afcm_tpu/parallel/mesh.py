@@ -75,3 +75,36 @@ def local_batch_size(global_batch: int, mesh: Mesh) -> int:
     assert global_batch % n_data == 0, \
         f"batch {global_batch} not divisible by data-parallel size {n_data}"
     return global_batch // n_data
+
+
+def infer_param_sharding(path_str: str, shape, mesh: Mesh) -> NamedSharding:
+    """Tensor-parallel placement rule for one parameter.
+
+    When the mesh has a model axis > 1, the large matmul-bearing parameters
+    shard their output dimension over it — dense kernels [out, in] on dim 0,
+    conv kernels [O, I, kh, kw] on dim 0 — and GSPMD inserts the matching
+    all-gathers/reduce-scatters.  Biases and small/indivisible tensors stay
+    replicated.
+    """
+    n_model = mesh.shape[MODEL_AXIS]
+    if n_model <= 1 or len(shape) < 2:
+        return replicated_sharding(mesh)
+    out_dim = shape[0]
+    # Keep small layers replicated: sharding them costs more in collectives
+    # than it saves in FLOPs.
+    if out_dim % n_model != 0 or out_dim < 8 * n_model:
+        return replicated_sharding(mesh)
+    return NamedSharding(mesh, P(MODEL_AXIS))
+
+
+def shard_params(params, mesh: Mesh):
+    """Apply `infer_param_sharding` across a pytree.
+
+    The rule is shape-based, so applying it to a whole train state places
+    parameters, their EMA copies and the Adam moment trees identically
+    (scalars and small tensors stay replicated)."""
+    def place(path, leaf):
+        path_str = jax.tree_util.keystr(path)
+        return jax.device_put(leaf,
+                              infer_param_sharding(path_str, leaf.shape, mesh))
+    return jax.tree_util.tree_map_with_path(place, params)

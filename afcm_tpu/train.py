@@ -22,7 +22,8 @@ import numpy as np
 from .config import default_argument_parser
 from .data import get_train_loaders
 from .models import build_gan_model
-from .parallel import make_mesh_for_batch, replicate_state, shard_batch
+from .parallel import (make_mesh_for_batch, replicate_state, shard_batch,
+                       shard_params)
 from .utils import checkpoint as ckpt
 from .utils.metrics import evaluate_2D
 from .utils.visualizer import Visualizer
@@ -88,7 +89,12 @@ def train(cfg, max_iters: Optional[int] = None) -> Dict[str, float]:
                                cfg.loaders.batch_size)
     multi_device = mesh.devices.size > 1
     if multi_device:
-        state = replicate_state(state, mesh)
+        if mesh.shape["model"] > 1:
+            # dp x tp: big params (and their Adam moments / EMA copies)
+            # shard their output dim over the model axis.
+            state = shard_params(state, mesh)
+        else:
+            state = replicate_state(state, mesh)
 
     visualizer = Visualizer(cfg)
     # Persist the exact experiment config next to its checkpoints (the
