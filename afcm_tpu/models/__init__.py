@@ -24,7 +24,7 @@ _SG3_SYNTH_KEYS = {
     "first_cutoff", "first_stopband", "last_stopband_rel", "margin_size",
     "output_scale", "dropout_rate", "skip_resolution", "cond_mod",
     "conv_kernel", "filter_size", "lrelu_upsampling", "use_radial_filters",
-    "conv_clamp", "magnitude_ema_beta", "compute_dtype",
+    "conv_clamp", "magnitude_ema_beta", "compute_dtype", "remat",
 }
 _COMOD_SYNTH_KEYS = {
     "channel_base", "channel_max", "dropout_rate", "skip_resolution",
@@ -78,11 +78,17 @@ def build_gan_model(cfg) -> GANModel:
     """Assemble a GANModel from a full config tree (see afcm_tpu.config)."""
     g_cfg = dict(cfg.model.G)
     d_cfg = dict(cfg.model.D)
-    compute_dtype = getattr(getattr(cfg, "tpu", None), "compute_dtype", None)
-    if compute_dtype and compute_dtype != "float32" and \
-            g_cfg.get("netG") == "stylegan3":
-        g_cfg["synthesis_kwargs"] = dict(g_cfg.get("synthesis_kwargs", {}) or {},
-                                         compute_dtype=compute_dtype)
+    tpu_cfg = getattr(cfg, "tpu", None)
+    compute_dtype = getattr(tpu_cfg, "compute_dtype", None)
+    if g_cfg.get("netG") == "stylegan3":
+        extra = {}
+        if compute_dtype and compute_dtype != "float32":
+            extra["compute_dtype"] = compute_dtype
+        if getattr(tpu_cfg, "remat", False):
+            extra["remat"] = True
+        if extra:
+            g_cfg["synthesis_kwargs"] = dict(
+                g_cfg.get("synthesis_kwargs", {}) or {}, **extra)
     generator = build_generator(g_cfg)
     discriminator = build_discriminator(d_cfg)
     gan_config = GANConfig(

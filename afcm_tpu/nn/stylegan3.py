@@ -402,6 +402,10 @@ class SynthesisNetwork(nn.Module):
     # traffic of the 2x-rate lrelu intermediates and engages the MXU bf16
     # path.  Output is always cast back to fp32.
     compute_dtype: str = "float32"
+    # Rematerialize each alias-free layer in the backward pass (trades the
+    # cheap FIR/lrelu recompute for activation memory; the TPU analog of the
+    # CUDA sign-tensor trick, see SURVEY.md §2.10).
+    remat: bool = False
 
     @property
     def layout(self) -> SynthesisLayout:
@@ -436,11 +440,16 @@ class SynthesisNetwork(nn.Module):
         x = jnp.pad(img_in, ((0, 0), (0, 0), (m, m), (m, m)))
         x = x.astype(jnp.dtype(self.compute_dtype))
 
+        encoder_cls = nn.remat(EncoderLayer, static_argnums=(2,)) if self.remat \
+            else EncoderLayer
+        synthesis_cls = nn.remat(SynthesisLayer, static_argnums=(5,)) if self.remat \
+            else SynthesisLayer
+
         records = dict(layout.encoder_records)
         e_features: Dict[int, jnp.ndarray] = {}
         for idx, spec in enumerate(layout.encoder_specs):
-            x = EncoderLayer(spec, name=f"encoder_{idx}", **enc_kwargs)(
-                x, update_emas=update_emas)
+            x = encoder_cls(spec, name=f"encoder_{idx}", **enc_kwargs)(
+                x, update_emas)
             if idx in records:
                 e_features[records[idx]] = x
 
@@ -460,12 +469,11 @@ class SynthesisNetwork(nn.Module):
                                                    layout.decoder_skips)):
             name = f"L{idx}_{spec.out_size}_{spec.out_channels}"
             x_skip = e_features[skip_key] if skip_key is not None else None
-            x = SynthesisLayer(spec, w_dim=self.w_dim,
-                               global_w_dim=self.global_w_dim,
-                               cond_mod=self.cond_mod, name=name,
-                               **dec_kwargs)(
-                ws[:, idx + 1], x, img_global, x_skip=x_skip,
-                update_emas=update_emas)
+            x = synthesis_cls(spec, w_dim=self.w_dim,
+                              global_w_dim=self.global_w_dim,
+                              cond_mod=self.cond_mod, name=name,
+                              **dec_kwargs)(
+                ws[:, idx + 1], x, img_global, x_skip, update_emas)
 
         if layout.output_scale != 1:
             x = x * layout.output_scale

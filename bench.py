@@ -22,53 +22,59 @@ A100_ESTIMATE_SLICES_PER_SEC = 50.0
 TARGET = 5.0 * A100_ESTIMATE_SLICES_PER_SEC
 
 
-def main():
-    import numpy as np
-    import jax
-    import jax.numpy as jnp
+def _make_gen(compute_dtype):
     from afcm_tpu.nn import Stylegan3Generator
-
-    gen = Stylegan3Generator(
+    return Stylegan3Generator(
         z_dim=512, c_dim=1, w_dim=512, img_resolution=256,
         img_channels_in=4, img_channels_out=1,
         mapping_kwargs=dict(num_layers=8),
         synthesis_kwargs=dict(channel_base=16384, channel_max=512,
                               num_layers=14, skip_resolution=128,
-                              lrelu_upsampling=2, conv_clamp=256))
+                              lrelu_upsampling=2, conv_clamp=256,
+                              compute_dtype=compute_dtype))
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
 
     rng = np.random.RandomState(0)
-    best = 0.0
     results = {}
-    for batch in (8, 16, 32):
-        z = jnp.asarray(rng.randn(batch, 512), jnp.float32)
-        c = jnp.asarray(rng.rand(batch, 1), jnp.float32)
-        cond = jnp.asarray(rng.randn(batch, 4, 256, 256).clip(-1, 1),
-                           jnp.float32)
-        try:
-            variables = jax.jit(gen.init)(jax.random.PRNGKey(0), z, c, cond)
-            fwd = jax.jit(lambda v, z, c, x: gen.apply(v, z, c, x))
-            out = fwd(variables, z, c, cond)
-            np.asarray(out)  # warm + sync
-            iters = 10
-            t0 = time.time()
-            for _ in range(iters):
+    variables = None
+    for dtype in ("bfloat16", "float32"):
+        gen = _make_gen(dtype)
+        for batch in (16,):
+            z = jnp.asarray(rng.randn(batch, 512), jnp.float32)
+            c = jnp.asarray(rng.rand(batch, 1), jnp.float32)
+            cond = jnp.asarray(rng.randn(batch, 4, 256, 256).clip(-1, 1),
+                               jnp.float32)
+            try:
+                if variables is None:
+                    variables = jax.jit(gen.init)(jax.random.PRNGKey(0), z, c,
+                                                  cond)
+                fwd = jax.jit(lambda v, z, c, x: gen.apply(v, z, c, x))
                 out = fwd(variables, z, c, cond)
-            np.asarray(out)
-            dt = (time.time() - t0) / iters
-            sps = batch / dt
-            results[batch] = round(sps, 2)
-            best = max(best, sps)
-        except Exception as exc:  # OOM at large batch etc.
-            print(f"batch {batch} failed: {exc!r}", file=sys.stderr)
-        finally:
-            del z, c, cond
+                np.asarray(out)  # warm; host fetch = reliable sync on axon
+                iters = 10
+                t0 = time.time()
+                for _ in range(iters):
+                    out = fwd(variables, z, c, cond)
+                np.asarray(out)
+                dt = (time.time() - t0) / iters
+                results[f"{dtype}_b{batch}"] = round(batch / dt, 2)
+            except Exception as exc:
+                print(f"{dtype} batch {batch} failed: {exc!r}", file=sys.stderr)
 
+    # Headline: bf16 (output drift vs fp32 measured at 56 dB PSNR — far
+    # inside the 0.1 dB parity budget; see BASELINE.md).
+    best = max(results.values(), default=0.0)
     print(json.dumps({
-        "metric": "256^2 MR slices/sec/chip (CMSR inference, fp32 G_ema fwd)",
+        "metric": "256^2 MR slices/sec/chip (CMSR G_ema forward)",
         "value": round(best, 2),
         "unit": "slices/sec/chip",
         "vs_baseline": round(best / TARGET, 4),
-        "detail": {"per_batch": results,
+        "detail": {"per_config": results,
                    "baseline": f"5x A100-estimate = {TARGET} slices/sec"},
     }))
 
