@@ -108,6 +108,9 @@ class StandardPredictor:
             per_head = [predictions, predictions, inputs][:heads]
             for head, (pred_batch, pmap, nmask) in enumerate(zip(
                     per_head, prediction_maps, normalization_masks)):
+                if self._accumulate_native(pred_batch, indices, volume_shape,
+                                           pmap, nmask):
+                    continue
                 for pred, index in zip(pred_batch, indices):
                     index = (slice(0, self.out_channels),) + tuple(index)
                     u_pred, u_index = remove_halo(pred, index, volume_shape,
@@ -116,6 +119,36 @@ class StandardPredictor:
                     nmask[u_index] += 1
 
         return self._save_results(prediction_maps, normalization_masks, dataset)
+
+    def _accumulate_native(self, pred_batch, indices, volume_shape, pmap,
+                           nmask) -> bool:
+        """Batch overlap-add through the C++ stitcher for the common case:
+        1-channel, single-z-slice patches."""
+        pred_batch = np.asarray(pred_batch)
+        if (self.out_channels != 1 or pred_batch.shape[1] != 1 or
+                pred_batch.shape[2] != 1 or self.patch_halo[0] != 0):
+            return False
+        from ..native import accumulate_patches
+        d, h, w = volume_shape
+        n = pred_batch.shape[0]
+        coords = np.empty((n, 3), np.int32)
+        offsets = np.empty((n, 2), np.int32)
+        sizes = np.empty((n, 2), np.int32)
+        hy, hx = self.patch_halo[1], self.patch_halo[2]
+        for b, index in enumerate(indices):
+            z_sl, y_sl, x_sl = index
+            if z_sl.stop - z_sl.start != 1:
+                return False
+            oy = 0 if y_sl.start == 0 else hy
+            ox = 0 if x_sl.start == 0 else hx
+            y1 = y_sl.stop if y_sl.stop == h else y_sl.stop - hy
+            x1 = x_sl.stop if x_sl.stop == w else x_sl.stop - hx
+            coords[b] = (z_sl.start, y_sl.start + oy, x_sl.start + ox)
+            offsets[b] = (oy, ox)
+            sizes[b] = (y1 - (y_sl.start + oy), x1 - (x_sl.start + ox))
+        accumulate_patches(pmap[0], nmask[0],
+                           pred_batch[:, 0, 0], coords, offsets, sizes)
+        return True
 
     @staticmethod
     def _volume_shape(dataset):

@@ -51,6 +51,9 @@ class GANConfig:
     ema_ramp: Optional[float] = None
     blur_init_sigma: float = 0.0
     blur_fade_kimg: float = 0.0
+    # Style mixing regularization probability (reference keeps the hook at 0,
+    # comodgan_model.py:31; supported here for completeness).
+    style_mixing_prob: float = 0.0
 
 
 class GANModel:
@@ -113,7 +116,10 @@ class GANModel:
                rng, train: bool):
         variables = {"params": params_g, "moments": moments_g,
                      "constants": constants_g}
-        rng_noise, rng_drop = jax.random.split(rng)
+        rng_noise, rng_drop, rng_mix = jax.random.split(rng, 3)
+        if train and self.config.style_mixing_prob > 0:
+            return self._run_g_mixed(variables, moments_g, z, c, cond_img,
+                                     rng_noise, rng_drop, rng_mix)
         out = self.generator.apply(
             variables, z, c, cond_img, ref_img=ref_img, train=train,
             rngs={"noise": rng_noise, "dropout": rng_drop},
@@ -122,6 +128,38 @@ class GANModel:
             fake, updated = out
             return fake, updated.get("moments", moments_g)
         return out, moments_g
+
+    def _run_g_mixed(self, variables, moments_g, z, c, cond_img, rng_noise,
+                     rng_drop, rng_mix):
+        """Style mixing (reference: comodgan_model.py:80-85): with probability
+        p, ws beyond a random cutoff come from a second latent."""
+        gen = self.generator
+        rng_z2, rng_cut, rng_coin = jax.random.split(rng_mix, 3)
+
+        def map_train(module, z, c):
+            return module.mapping(z, c, update_w_avg=True)
+
+        def map_fixed(module, z, c):
+            return module.mapping(z, c, update_w_avg=False)
+
+        ws, updated = gen.apply(variables, z, c, method=map_train,
+                                mutable=["moments"])
+        z2 = jax.random.normal(rng_z2, z.shape)
+        ws2 = gen.apply(variables, z2, c, method=map_fixed)
+        num_ws = ws.shape[1]
+        cutoff = jax.random.randint(rng_cut, (), 1, num_ws)
+        do_mix = jax.random.uniform(rng_coin, ()) < self.config.style_mixing_prob
+        mask = (jnp.arange(num_ws)[None, :, None] >= cutoff) & do_mix
+        ws = jnp.where(mask, ws2, ws)
+
+        def synth_fn(module, ws, cond_img):
+            return module.synthesis(ws, cond_img, train=True)
+
+        fake, updated2 = gen.apply(
+            {**variables, "moments": updated.get("moments", moments_g)},
+            ws, cond_img, method=synth_fn, mutable=["moments"],
+            rngs={"noise": rng_noise, "dropout": rng_drop})
+        return fake, updated2.get("moments", moments_g)
 
     def _run_d(self, params_d, img, c, sigma):
         return self.discriminator.apply({"params": params_d},

@@ -55,6 +55,39 @@ def test_native_batch_matches_per_item_path(tmp_path, rng):
                                    atol=1e-7)
 
 
+def test_predictor_native_stitch_matches_reference_path(rng):
+    """StandardPredictor._accumulate_native == the remove_halo loop."""
+    from afcm_tpu.infer.predictor import StandardPredictor, remove_halo
+
+    d, h, w = 3, 64, 64
+    pred = StandardPredictor(forward_fn=None, output_dir="/tmp/x", config=None,
+                            patch_halo=(0, 8, 8))
+    # overlapping 32x32 patches at stride 16 incl. boundary cases
+    indices = []
+    for z in range(d):
+        for y in (0, 16, 32):
+            for x in (0, 16, 32):
+                indices.append((slice(z, z + 1), slice(y, y + 32),
+                                slice(x, x + 32)))
+    patches = rng.randn(len(indices), 1, 1, 32, 32).astype(np.float32)
+
+    pmap_n = np.zeros((1, d, h, w), np.float32)
+    nmask_n = np.zeros((1, d, h, w), np.uint16)
+    ok = pred._accumulate_native(patches, indices, (d, h, w), pmap_n, nmask_n)
+    assert ok
+
+    pmap_r = np.zeros((1, d, h, w), np.float32)
+    nmask_r = np.zeros((1, d, h, w), np.uint16)
+    for p, index in zip(patches, indices):
+        index = (slice(0, 1),) + tuple(index)
+        u_p, u_i = remove_halo(p, index, (d, h, w), (0, 8, 8))
+        pmap_r[u_i] += u_p
+        nmask_r[u_i] += 1
+
+    np.testing.assert_allclose(pmap_n, pmap_r, atol=1e-6)
+    np.testing.assert_array_equal(nmask_n, nmask_r)
+
+
 def test_accumulate_patches_matches_fallback(rng, monkeypatch):
     d, h, w = 4, 32, 32
     patches = rng.randn(3, 16, 16).astype(np.float32)

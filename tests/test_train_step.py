@@ -90,6 +90,18 @@ def test_eval_step_deterministic(model, state):
     assert out1.shape == (2, 1, 32, 32)
 
 
+def test_style_mixing_train_step(rng=None):
+    rng = np.random.RandomState(5)
+    model = _make_model(style_mixing_prob=0.9)
+    batch = _batch(rng)
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+    new_state, metrics = model.train_step(state, batch, jax.random.PRNGKey(2),
+                                          jnp.asarray(0.0))
+    for key in ("G_GAN", "G_L1", "D_real", "D_fake"):
+        assert np.isfinite(float(metrics[key])), key
+    assert int(new_state.step) == 1
+
+
 def test_lr_injection(model, state):
     st = state.with_lr(1e-3, 2e-3)
     assert float(st.opt_state_G.hyperparams["learning_rate"]) == pytest.approx(1e-3)
