@@ -59,6 +59,87 @@ class _PlainConv(nn.Module):
             (b - bound)[None, :, None, None].astype(x.dtype)
 
 
+class ConvNorm(nn.Module):
+    """Reflection-padded conv with optional instance norm
+    (reference: layers.py:772-791)."""
+
+    in_feat: int
+    out_feat: int
+    kernel_size: int
+    stride: int = 1
+    norm: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.kernel_size // 2
+        x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)),
+                    mode="reflect")
+        from jax import lax
+        from ..ops.modulated_conv import _DN
+        w = self.param("weight",
+                       nn.initializers.variance_scaling(1 / 3, "fan_in",
+                                                        "uniform"),
+                       (self.out_feat, self.in_feat, self.kernel_size,
+                        self.kernel_size))
+        b = self.param("bias", nn.initializers.zeros, (self.out_feat,))
+        x = lax.conv_general_dilated(x, w.astype(x.dtype),
+                                     (self.stride, self.stride),
+                                     ((0, 0), (0, 0)), dimension_numbers=_DN)
+        x = x + b[None, :, None, None].astype(x.dtype)
+        if self.norm:
+            mean = jnp.mean(x, axis=(2, 3), keepdims=True)
+            var = jnp.var(x, axis=(2, 3), keepdims=True)
+            x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        return x
+
+
+class RCAB(nn.Module):
+    """Residual channel-attention block (reference: layers.py:814-840)."""
+
+    in_feat: int
+    out_feat: int
+    kernel_size: int
+    reduction: int = 16
+    norm: bool = False
+    downscale: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        res = x
+        h = ConvNorm(self.in_feat, self.out_feat, self.kernel_size,
+                     stride=2 if self.downscale else 1, norm=self.norm,
+                     name="conv0")(x)
+        h = jax.nn.relu(h)
+        h = ConvNorm(self.out_feat, self.out_feat, self.kernel_size,
+                     stride=1, norm=self.norm, name="conv1")(h)
+        h, _ = CALayer(self.out_feat, self.reduction, name="ca")(h)
+        if self.downscale:
+            res = ConvNorm(self.in_feat, self.out_feat, 3, stride=2,
+                           name="down")(res)
+        return res + h
+
+
+class ResidualGroup(nn.Module):
+    """Group of RCABs with a trailing conv + group skip
+    (reference: layers.py:844-856)."""
+
+    n_resblocks: int
+    n_feat: int
+    kernel_size: int
+    reduction: int = 16
+    norm: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        res = x
+        for i in range(self.n_resblocks):
+            res = RCAB(self.n_feat, self.n_feat, self.kernel_size,
+                       self.reduction, norm=self.norm, name=f"rcab{i}")(res)
+        res = ConvNorm(self.n_feat, self.n_feat, self.kernel_size,
+                       norm=self.norm, name="tail")(res)
+        return x + res
+
+
 class PixShuffleEarlyBlock(nn.Module):
     """(reference: generator.py:300-315)"""
 

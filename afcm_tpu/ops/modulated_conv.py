@@ -30,6 +30,12 @@ from . import upfirdn2d as _upfirdn2d
 _DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1), ("NCHW", "OIHW", "NCHW"))
 
 
+def fma(a, b, c):
+    """Fused multiply-add a*b + c (reference: torch_utils/ops/fma.py —
+    the unbroadcast-aware backward is native to JAX's autodiff)."""
+    return a * b + c
+
+
 def conv2d(x, w, padding=0, groups: int = 1, flip_weight: bool = True):
     """Plain NCHW conv2d (correlation when flip_weight, like torch.conv2d)."""
     if isinstance(padding, (int, np.integer)):

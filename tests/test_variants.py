@@ -66,6 +66,16 @@ def test_cain_synthesis_network_forward(rng):
     assert float(jnp.max(jnp.abs(out))) <= 1.0  # tanh before shuffle
 
 
+def test_rcab_residual_group(rng):
+    from afcm_tpu.nn.ca_variants import ResidualGroup
+    rg = ResidualGroup(n_resblocks=2, n_feat=8, kernel_size=3, reduction=4)
+    x = jnp.asarray(rng.randn(1, 8, 16, 16).astype(np.float32))
+    v = rg.init(jax.random.PRNGKey(0), x)
+    y = rg.apply(v, x)
+    assert y.shape == x.shape
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
 def test_time_encoders(rng):
     enc = FixedTimeEncoder(max_num_frames=16)
     t = jnp.asarray(rng.rand(3, 1).astype(np.float32) * 10)
