@@ -108,6 +108,12 @@ def main(argv=None):
                 target_data = test_loader.dataset.raw[modality].astype(
                     np.float64) / 255
 
+            # Persist the rescaled target next to the predictions
+            # (reference writes <subject>_ori.nii.gz, evaluate.py:92-93).
+            from .utils.nifti import write_nifti
+            write_nifti(os.path.join(out_path, subject + "_ori.nii.gz"),
+                        target_data.astype(np.float32))
+
             one = evaluate_3D(img_data, target_data)
             one_slice = evaluate_slice(img_data, target_data)
             c_psnr.append(one[0])

@@ -42,9 +42,9 @@ def main():
     rng = np.random.RandomState(0)
     results = {}
     variables = None
-    for dtype in ("bfloat16", "float32"):
+    for dtype, batches in (("bfloat16", (32, 16)), ("float32", (16,))):
         gen = _make_gen(dtype)
-        for batch in (16,):
+        for batch in batches:
             z = jnp.asarray(rng.randn(batch, 512), jnp.float32)
             c = jnp.asarray(rng.rand(batch, 1), jnp.float32)
             cond = jnp.asarray(rng.randn(batch, 4, 256, 256).clip(-1, 1),
