@@ -68,7 +68,10 @@ class GANModel:
 
     # -- initialization ------------------------------------------------------
 
+    @functools.partial(jax.jit, static_argnums=0)
     def init_state(self, rng, batch: Dict[str, jnp.ndarray]) -> GANTrainState:
+        # Jitted as one graph: eager init dispatches hundreds of tiny ops,
+        # which is minutes of round-trips on a remote-compile backend.
         cfg = self.config
         rng_g, rng_d, rng_noise, rng_z = jax.random.split(rng, 4)
         z = jax.random.normal(rng_z, (batch["A"].shape[0], cfg.z_dim))

@@ -57,6 +57,7 @@ class Pix2PixModel:
         self.discriminator = discriminator
         self.config = config
 
+    @functools.partial(jax.jit, static_argnums=0)
     def init_state(self, rng, batch) -> Pix2PixState:
         cfg = self.config
         rng_g, rng_d, rng_drop = jax.random.split(rng, 3)
