@@ -25,6 +25,7 @@ _SG3_SYNTH_KEYS = {
     "output_scale", "dropout_rate", "skip_resolution", "cond_mod",
     "conv_kernel", "filter_size", "lrelu_upsampling", "use_radial_filters",
     "conv_clamp", "magnitude_ema_beta", "compute_dtype", "remat",
+    "channel_align",
 }
 _COMOD_SYNTH_KEYS = {
     "channel_base", "channel_max", "dropout_rate", "skip_resolution",

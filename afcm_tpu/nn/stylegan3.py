@@ -76,7 +76,8 @@ def compute_synthesis_layout(img_resolution: int, img_channels_in: int,
                              num_critical: int, first_cutoff: float,
                              first_stopband: float, last_stopband_rel: float,
                              margin_size: int, output_scale: float,
-                             skip_resolution: int) -> SynthesisLayout:
+                             skip_resolution: int,
+                             channel_align: int = 1) -> SynthesisLayout:
     # Geometric progression of cutoffs / stopbands
     # (reference: networks_stylegan3.py:595-611).
     last_cutoff = img_resolution / 2
@@ -90,6 +91,13 @@ def compute_synthesis_layout(img_resolution: int, img_channels_in: int,
     sizes_enc = sizes.copy()
     sizes[-2:] = img_resolution
     channels = np.rint(np.minimum((channel_base / 2) / cutoffs, channel_max))
+    if channel_align > 1:
+        # TPU-friendly channel rounding (sublane/lane alignment). The
+        # reference schedule yields counts like 91/181/362 whose layouts pad
+        # by up to 1.4x on TPU; aligning trades a little extra capacity for
+        # dense tiles. Not checkpoint-compatible with the reference when set.
+        channels = np.ceil(channels / channel_align) * channel_align
+        channels = np.minimum(channels, channel_max)
     channels[-1] = img_channels_out
 
     log2res = int(np.log2(img_resolution))
@@ -385,6 +393,7 @@ class SynthesisNetwork(nn.Module):
     output_scale: float = 0.25
     dropout_rate: float = 0.5
     skip_resolution: int = 256
+    channel_align: int = 1
     # layer kwargs
     cond_mod: bool = True
     conv_kernel: int = 3
@@ -414,7 +423,7 @@ class SynthesisNetwork(nn.Module):
             self.channel_base, self.channel_max, self.num_layers,
             self.num_critical, self.first_cutoff, self.first_stopband,
             self.last_stopband_rel, self.margin_size, self.output_scale,
-            self.skip_resolution)
+            self.skip_resolution, self.channel_align)
 
     @property
     def num_ws(self) -> int:
