@@ -90,6 +90,29 @@ def test_eval_step_deterministic(model, state):
     assert out1.shape == (2, 1, 32, 32)
 
 
+def test_comodgan_family_train_step():
+    rng = np.random.RandomState(9)
+    g = dict(netG="comodgan", z_dim=32, c_dim=1, w_dim=32, img_resolution=32,
+             img_channels_in=4, img_channels_out=1,
+             mapping_kwargs=dict(num_layers=2),
+             synthesis_kwargs=dict(channel_base=512, channel_max=32,
+                                   skip_resolution=16, cond_mod=True))
+    model = GANModel(build_generator(g), build_discriminator(dict(TINY_D)),
+                     GANConfig(z_dim=32, c_dim=1, batch_size=2))
+    batch = _batch(rng)
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+    new_state, metrics = model.train_step(state, batch, jax.random.PRNGKey(1),
+                                          jnp.asarray(0.0))
+    for key in ("G_GAN", "G_L1", "D_real", "D_fake", "D_r1"):
+        assert np.isfinite(float(metrics[key])), key
+    # SG2 mapping updates w_avg during training (reference semantics)
+    w_avg_new = np.asarray(new_state.moments_G["mapping"]["w_avg"])
+    assert not np.allclose(w_avg_new, 0)
+    out = model.eval_step(new_state, batch["A"], batch["slice_idx"],
+                          jax.random.PRNGKey(3))
+    assert out.shape == (2, 1, 32, 32)
+
+
 def test_style_mixing_train_step(rng=None):
     rng = np.random.RandomState(5)
     model = _make_model(style_mixing_prob=0.9)
