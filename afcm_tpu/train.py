@@ -57,8 +57,9 @@ def validate(model, state, val_loader, rng) -> Optional[Dict[str, float]]:
 
 
 def train(cfg, max_iters: Optional[int] = None) -> Dict[str, float]:
-    from .ops.filtered_lrelu import set_default_impl
-    set_default_impl(getattr(cfg.tpu, "filtered_lrelu_impl", "xla"))
+    # Note: the experimental pallas filtered_lrelu has no VJP — training
+    # always uses the XLA composition; `tpu.filtered_lrelu_impl` applies to
+    # inference (evaluate / predictor) only.
     if cfg.tpu.matmul_precision != "default":
         jax.config.update("jax_default_matmul_precision",
                           cfg.tpu.matmul_precision)

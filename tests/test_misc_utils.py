@@ -54,6 +54,24 @@ def test_replica_consistency_passes_on_replicated():
     assert check_replica_consistency({"x": x})
 
 
+def test_port_round_trip():
+    from afcm_tpu.utils.port import (state_dict_to_variables,
+                                     variables_to_state_dict)
+    sd = {"mapping.fc0.weight": np.ones((4, 3)),
+          "mapping.fc0.bias": np.zeros((4,)),
+          "mapping.w_avg": np.full((4,), 0.5),
+          "synthesis.encoder_0.magnitude_ema": np.asarray(1.0),
+          "synthesis.encoder_0.up_filter": np.ones((12,))}
+    variables = state_dict_to_variables(sd)
+    assert "w_avg" in variables["moments"]["mapping"]
+    assert "up_filter" not in str(variables)
+    back = variables_to_state_dict(variables)
+    assert set(back) == {"mapping.fc0.weight", "mapping.fc0.bias",
+                         "mapping.w_avg",
+                         "synthesis.encoder_0.magnitude_ema"}
+    np.testing.assert_array_equal(back["mapping.fc0.weight"], sd["mapping.fc0.weight"])
+
+
 def test_template_model_trains():
     from afcm_tpu.models.template_model import TemplateModel
     model = TemplateModel()
