@@ -45,8 +45,17 @@ def make_mesh_for_batch(mesh_shape: Sequence[int], batch_size: int,
     if model <= 0:
         model = 1
     max_data = max(len(devices) // model, 1) if data <= 0 else data
+    requested = max_data
     while max_data > 1 and batch_size % max_data != 0:
         max_data -= 1
+    if max_data < requested:
+        import logging
+        idle = (requested - max_data) * model
+        logging.getLogger(__name__).warning(
+            "make_mesh_for_batch: batch %d not divisible by data axis %d; "
+            "clamping to %d — %d of %d devices will sit idle. Pick a batch "
+            "size divisible by the data-parallel degree for full utilization.",
+            batch_size, requested, max_data, idle, len(devices))
     return make_mesh((max_data, model), devices)
 
 
