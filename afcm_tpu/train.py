@@ -22,6 +22,7 @@ import numpy as np
 from .config import default_argument_parser
 from .data import get_train_loaders
 from .models import build_gan_model
+from .models.schedulers import LRScheduler
 from .parallel import (make_mesh_for_batch, replicate_state, shard_batch,
                        shard_params)
 from .utils import checkpoint as ckpt
@@ -29,12 +30,11 @@ from .utils.metrics import evaluate_2D
 from .utils.visualizer import Visualizer
 
 
-def lr_factor(epoch: int, cfg) -> float:
-    """Linear decay factor (reference: models/utils.py:56-60)."""
-    if cfg.scheduler.lr_policy == "linear":
-        return 1.0 - max(0, epoch - cfg.scheduler.n_epochs) / \
-            float(cfg.scheduler.n_epochs_decay + 1)
-    raise NotImplementedError(f"lr policy {cfg.scheduler.lr_policy}")
+def lr_factor(epoch: int, cfg, metric=None) -> float:
+    """Per-epoch LR factor, stateless convenience over LRScheduler
+    (all four reference policies — models/utils.py:43-69). For ``plateau``
+    — which is stateful — use one LRScheduler across epochs, as train() does."""
+    return LRScheduler(cfg).factor(epoch, metric)
 
 
 def validate(model, state, val_loader, rng) -> Optional[Dict[str, float]]:
@@ -111,9 +111,13 @@ def train(cfg, max_iters: Optional[int] = None) -> Dict[str, float]:
 
     n_total_epochs = cfg.scheduler.n_epochs + cfg.scheduler.n_epochs_decay
     stop = False
+    scheduler = LRScheduler(cfg)
     for epoch in range(cfg.scheduler.epoch_count, n_total_epochs + 1):
         epoch_start = time.time()
-        factor = lr_factor(epoch, cfg)
+        # plateau watches -SSIM from the most recent validation (lower is
+        # better); the other policies ignore the metric.
+        factor = scheduler.factor(
+            epoch, -last_val["ssim"] if last_val else None)
         state = state.with_lr(cfg.optimizer.lr_G * factor,
                               cfg.optimizer.lr_D * factor)
         iter_data_time = time.time()

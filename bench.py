@@ -7,18 +7,22 @@ Metric: 256^2 MR slices/sec/chip for the full-size AFCM CMSR generator
 (G_ema forward: 8-layer mapping + 14 encoder + 15 synthesis alias-free
 layers, 58.5M params), fp32, on the attached TPU chip.
 
-Baseline (see BASELINE.md): the reference repo publishes no numbers; the
-BASELINE.json north-star is ">=5x A100 slice-synthesis throughput".  We
-anchor the A100 reference at 50 slices/sec (estimated: ~0.8 TFLOP/slice
-fp32 at 30-50%% utilization of 19.5 TF/s — to be replaced by a measured
-number when GPU access exists), so vs_baseline = value / 250.
+Baseline (see BASELINE.md "A100 anchor derivation"): the reference repo
+publishes no numbers and no GPU exists in this environment, so the A100
+anchor is FLOP-derived rather than measured. The generator forward costs
+1.088 TFLOP/slice (XLA cost analysis, batch 16 — see BASELINE.md for the
+command). On A100 the reference (PyTorch 1.9, TF32 convs on by default)
+peaks at 156 TF/s; this model's realistic utilization band is 30-50%
+(small-channel 256-612^2 convs + the bandwidth-bound FIR chain), giving
+43-72 slices/s. Anchor = 50 slices/s (mid-band), so the 5x north-star
+target is 250 and vs_baseline = value / 250.
 """
 
 import json
 import sys
 import time
 
-A100_ESTIMATE_SLICES_PER_SEC = 50.0
+A100_ESTIMATE_SLICES_PER_SEC = 50.0  # FLOP-derived band 43-72; BASELINE.md
 TARGET = 5.0 * A100_ESTIMATE_SLICES_PER_SEC
 
 

@@ -52,6 +52,13 @@ def load_reference_ops():
                           ("skimage.filters", sk.filters),
                           ("skimage.segmentation", sk.segmentation)]:
             sys.modules[name] = mod
+    # The reference targets py3.8; restore the pre-3.10 collections aliases
+    # its data/utils.py:320 relies on.
+    import collections
+    import collections.abc
+    for name in ("Sequence", "Mapping", "Iterable"):
+        if not hasattr(collections, name):
+            setattr(collections, name, getattr(collections.abc, name))
     for missing in ("SimpleITK", "nibabel", "visdom", "dominate", "wandb"):
         if missing not in sys.modules:
             import types
