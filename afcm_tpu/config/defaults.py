@@ -139,7 +139,8 @@ def get_default_cfg() -> CfgNode:
     c.tpu.compute_dtype = "float32"  # float32 | bfloat16
     c.tpu.matmul_precision = "default"  # default | high | highest
     c.tpu.remat = False
-    c.tpu.filtered_lrelu_impl = "xla"   # xla | pallas
+    c.tpu.remat_min_size = 0   # remat only layers >= this spatial size
+    c.tpu.filtered_lrelu_impl = "auto"  # auto | xla | pallas
     return c
 
 

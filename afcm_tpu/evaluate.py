@@ -66,7 +66,7 @@ def main(argv=None):
     cfg = default_argument_parser(argv)
     print(cfg.dump())
     from .ops.filtered_lrelu import set_default_impl
-    set_default_impl(getattr(cfg.tpu, "filtered_lrelu_impl", "xla"))
+    set_default_impl(getattr(cfg.tpu, "filtered_lrelu_impl", "auto"))
     if cfg.tpu.matmul_precision != "default":
         jax.config.update("jax_default_matmul_precision",
                           cfg.tpu.matmul_precision)

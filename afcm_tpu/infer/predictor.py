@@ -86,15 +86,30 @@ class StandardPredictor:
         normalization_masks = [np.zeros(maps_shape, np.uint16) for _ in range(heads)]
 
         batch_size = test_loader.batch_size
-        for a_batch, slice_idx, indices in test_loader:
+
+        # Double-buffered device pipeline: dispatch batch i+1 before fetching
+        # batch i's result, so host-side stitching and the device forward
+        # overlap (JAX dispatch is async; np.asarray is the sync point).
+        def _dispatch(item):
+            a_batch, slice_idx, indices = item
             n = a_batch.shape[0]
             if n < batch_size:  # pad ragged tail to keep the jit shape static
                 pad = batch_size - n
                 a_batch = np.concatenate(
                     [a_batch, np.repeat(a_batch[-1:], pad, axis=0)], axis=0)
                 slice_idx = np.concatenate(
-                    [slice_idx, np.repeat(slice_idx[-1:], pad, axis=0)], axis=0)
-            predictions = np.asarray(self.forward_fn(a_batch, slice_idx))[:n]
+                    [slice_idx, np.repeat(slice_idx[-1:], pad, axis=0)],
+                    axis=0)
+            return self.forward_fn(a_batch, slice_idx), a_batch, n, indices
+
+        it = iter(test_loader)
+        nxt = next(it, None)
+        pending = _dispatch(nxt) if nxt is not None else None
+        while pending is not None:
+            nxt = next(it, None)
+            out_dev, a_batch, n, indices = pending
+            pending = _dispatch(nxt) if nxt is not None else None
+            predictions = np.asarray(out_dev)[:n]
             if predictions.ndim == 4:  # 2-D model output -> add depth axis
                 predictions = predictions[:, :, None]  # [N, C, 1, H, W]
 

@@ -25,7 +25,7 @@ _SG3_SYNTH_KEYS = {
     "output_scale", "dropout_rate", "skip_resolution", "cond_mod",
     "conv_kernel", "filter_size", "lrelu_upsampling", "use_radial_filters",
     "conv_clamp", "magnitude_ema_beta", "compute_dtype", "remat",
-    "channel_align",
+    "remat_min_size", "channel_align",
 }
 _COMOD_SYNTH_KEYS = {
     "channel_base", "channel_max", "dropout_rate", "skip_resolution",
@@ -87,6 +87,9 @@ def build_gan_model(cfg) -> GANModel:
             extra["compute_dtype"] = compute_dtype
         if getattr(tpu_cfg, "remat", False):
             extra["remat"] = True
+            min_size = getattr(tpu_cfg, "remat_min_size", 0)
+            if min_size:
+                extra["remat_min_size"] = int(min_size)
         if extra:
             g_cfg["synthesis_kwargs"] = dict(
                 g_cfg.get("synthesis_kwargs", {}) or {}, **extra)

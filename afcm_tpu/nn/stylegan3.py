@@ -411,10 +411,12 @@ class SynthesisNetwork(nn.Module):
     # traffic of the 2x-rate lrelu intermediates and engages the MXU bf16
     # path.  Output is always cast back to fp32.
     compute_dtype: str = "float32"
-    # Rematerialize each alias-free layer in the backward pass (trades the
-    # cheap FIR/lrelu recompute for activation memory; the TPU analog of the
-    # CUDA sign-tensor trick, see SURVEY.md §2.10).
+    # Rematerialize alias-free layers in the backward pass (trades the cheap
+    # FIR/lrelu recompute for activation memory; the TPU analog of the CUDA
+    # sign-tensor trick, see SURVEY.md §2.10). `remat_min_size` restricts it
+    # to layers whose spatial extent reaches the threshold — 0 remats all.
     remat: bool = False
+    remat_min_size: int = 0
 
     @property
     def layout(self) -> SynthesisLayout:
@@ -449,15 +451,25 @@ class SynthesisNetwork(nn.Module):
         x = jnp.pad(img_in, ((0, 0), (0, 0), (m, m), (m, m)))
         x = x.astype(jnp.dtype(self.compute_dtype))
 
-        encoder_cls = nn.remat(EncoderLayer, static_argnums=(2,)) if self.remat \
-            else EncoderLayer
-        synthesis_cls = nn.remat(SynthesisLayer, static_argnums=(5,)) if self.remat \
-            else SynthesisLayer
+        # Selective rematerialization: only layers whose spatial extent
+        # reaches `remat_min_size` pay the recompute — the 2x-rate FIR
+        # intermediates of the big layers dominate activation memory, while
+        # rematting the small 512-channel layers only adds backward FLOPs
+        # (VERDICT r1 item 5).
+        def encoder_cls(spec):
+            big = max(spec.in_size, spec.out_size) >= self.remat_min_size
+            return nn.remat(EncoderLayer, static_argnums=(2,)) \
+                if (self.remat and big) else EncoderLayer
+
+        def synthesis_cls(spec):
+            big = max(spec.in_size, spec.out_size) >= self.remat_min_size
+            return nn.remat(SynthesisLayer, static_argnums=(5,)) \
+                if (self.remat and big) else SynthesisLayer
 
         records = dict(layout.encoder_records)
         e_features: Dict[int, jnp.ndarray] = {}
         for idx, spec in enumerate(layout.encoder_specs):
-            x = encoder_cls(spec, name=f"encoder_{idx}", **enc_kwargs)(
+            x = encoder_cls(spec)(spec, name=f"encoder_{idx}", **enc_kwargs)(
                 x, update_emas)
             if idx in records:
                 e_features[records[idx]] = x
@@ -478,10 +490,10 @@ class SynthesisNetwork(nn.Module):
                                                    layout.decoder_skips)):
             name = f"L{idx}_{spec.out_size}_{spec.out_channels}"
             x_skip = e_features[skip_key] if skip_key is not None else None
-            x = synthesis_cls(spec, w_dim=self.w_dim,
-                              global_w_dim=self.global_w_dim,
-                              cond_mod=self.cond_mod, name=name,
-                              **dec_kwargs)(
+            x = synthesis_cls(spec)(spec, w_dim=self.w_dim,
+                                    global_w_dim=self.global_w_dim,
+                                    cond_mod=self.cond_mod, name=name,
+                                    **dec_kwargs)(
                 ws[:, idx + 1], x, img_global, x_skip, update_emas)
 
         if layout.output_scale != 1:

@@ -30,19 +30,44 @@ from .upfirdn2d import parse_padding
 from .upfirdn2d import upfirdn2d as _upfirdn2d_fn
 
 
-_DEFAULT_IMPL = "xla"
+_DEFAULT_IMPL = "auto"
 
 
 def set_default_impl(impl: str):
-    """Select the global filtered_lrelu implementation: 'xla' or 'pallas'
-    (pallas falls back to xla per-configuration when unsupported)."""
+    """Select the global filtered_lrelu implementation:
+    'xla'    — fused conv composition only;
+    'pallas' — force the banded-MXU kernel wherever it supports the config;
+    'auto'   — measured per-layer routing (kernel only where it beats XLA
+               on v5e; see _route_to_pallas), the default."""
     global _DEFAULT_IMPL
-    assert impl in ("xla", "pallas")
+    assert impl in ("xla", "pallas", "auto")
     _DEFAULT_IMPL = impl
 
 
 def get_default_impl() -> str:
     return _DEFAULT_IMPL
+
+
+# Measured on one v5e chip (batch 16, iters=30, docs/performance.md round 2):
+# the fused banded-MXU kernel beats the XLA composition only in bf16, on
+# (a) low-channel large-spatial same-rate layers — the lane-starved tail of
+# the conv emitter — and (b) up4 transition layers at mid target 256.
+# fp32 routes to XLA everywhere (the MXU's f32 rate cancels the fusion win).
+def _route_to_pallas(shape, dtype, up, down, fu, fd):
+    """Returns the kernel's ms_target, or None to stay on XLA."""
+    import jax.numpy as jnp
+    if jnp.dtype(dtype) != jnp.bfloat16:
+        return None
+    c, h, w = int(shape[1]), int(shape[2]), int(shape[3])
+    size = min(h, w)
+    if up == 2 and down == 2 and c <= 96 and size >= 192:
+        return 128            # 1.2-1.5x measured (276^2, C 64-91)
+    if up == 4 and down == 2 and size >= 40:
+        if c <= 128 and size >= 128:
+            return 256        # 1.3x (148^2 C128)
+        if c >= 256 and 48 <= size <= 96:
+            return 256        # 1.06-1.25x (52^2/84^2 C362-512)
+    return None
 
 
 def filtered_lrelu(x, fu=None, fd=None, b=None, up=1, down=1, padding=0,
@@ -70,14 +95,16 @@ def filtered_lrelu(x, fu=None, fd=None, b=None, up=1, down=1, padding=0,
     slope = float(slope)
     assert gain > 0 and slope >= 0
 
-    if impl == "pallas":
-        from .pallas import filtered_lrelu_pallas
-        out = filtered_lrelu_pallas(x, fu=fu, fd=fd, b=b, up=up, down=down,
-                                    padding=(px0, px1, py0, py1), gain=gain,
-                                    slope=slope, clamp=clamp,
-                                    flip_filter=flip_filter)
-        if out is not None:
-            return out
+    if impl in ("pallas", "auto"):
+        from .pallas import filtered_lrelu_mxu
+        ms = 128 if impl == "pallas" else \
+            _route_to_pallas(x.shape, x.dtype, up, down, fu, fd)
+        if ms is not None:
+            out = filtered_lrelu_mxu(x, fu, fd, b, up, down,
+                                     (px0, px1, py0, py1), gain, slope,
+                                     clamp, flip_filter, ms_target=ms)
+            if out is not None:
+                return out
 
     x = _bias_act_fn(x, b)
     x = _upfirdn2d_fn(x, fu, up=up, padding=[px0, px1, py0, py1],

@@ -57,9 +57,10 @@ def validate(model, state, val_loader, rng) -> Optional[Dict[str, float]]:
 
 
 def train(cfg, max_iters: Optional[int] = None) -> Dict[str, float]:
-    # Note: the experimental pallas filtered_lrelu has no VJP — training
-    # always uses the XLA composition; `tpu.filtered_lrelu_impl` applies to
-    # inference (evaluate / predictor) only.
+    from .ops.filtered_lrelu import set_default_impl
+    # The banded-MXU pallas kernel carries a custom_vjp, so training and
+    # inference share the same per-layer routing ('auto' default).
+    set_default_impl(getattr(cfg.tpu, "filtered_lrelu_impl", "auto"))
     if cfg.tpu.matmul_precision != "default":
         jax.config.update("jax_default_matmul_precision",
                           cfg.tpu.matmul_precision)
