@@ -169,17 +169,23 @@ def build_pix2pix_model(cfg) -> Pix2PixModel:
         input_nc=g_cfg.get("input_nc", 1), output_nc=g_cfg.get("output_nc", 1),
         num_downs=8 if net_g == "unet_256" else 7, ngf=g_cfg.get("ngf", 64),
         norm=g_cfg.get("norm", "batch"),
-        use_dropout=g_cfg.get("dropout", True))
+        use_dropout=g_cfg.get("dropout", True),
+        init_type=g_cfg.get("init_type", "normal"),
+        init_gain=g_cfg.get("init_gain", 0.02))
     net_d = d_cfg.get("netD", "basic")
     if net_d in ("basic", "n_layers"):
         discriminator = NLayerDiscriminator(
             input_nc=d_cfg.get("input_nc", 2), ndf=d_cfg.get("ndf", 64),
             n_layers=3 if net_d == "basic" else d_cfg.get("n_layers", 3),
-            norm=d_cfg.get("norm", "batch"))
+            norm=d_cfg.get("norm", "batch"),
+            init_type=d_cfg.get("init_type", "normal"),
+            init_gain=d_cfg.get("init_gain", 0.02))
     elif net_d == "pixel":
-        discriminator = PixelDiscriminator(input_nc=d_cfg.get("input_nc", 2),
-                                           ndf=d_cfg.get("ndf", 64),
-                                           norm=d_cfg.get("norm", "batch"))
+        discriminator = PixelDiscriminator(
+            input_nc=d_cfg.get("input_nc", 2), ndf=d_cfg.get("ndf", 64),
+            norm=d_cfg.get("norm", "batch"),
+            init_type=d_cfg.get("init_type", "normal"),
+            init_gain=d_cfg.get("init_gain", 0.02))
     else:
         raise NotImplementedError(f"pix2pix discriminator {net_d}")
     config = Pix2PixConfig(gan_mode=cfg.loss.gan_mode,

@@ -82,6 +82,35 @@ def _winit(key, shape, dtype=jnp.float32):
     return jax.random.normal(key, shape, dtype) * 0.02
 
 
+def make_weight_init(init_type: str = "normal", init_gain: float = 0.02):
+    """Weight initializers for torch-layout [out, in, *k] kernels
+    (reference: models/utils.py:72-110 — normal | xavier | kaiming |
+    orthogonal; kaiming ignores the gain like torch's kaiming_normal_)."""
+    import numpy as np
+
+    def init(key, shape, dtype=jnp.float32):
+        rf = int(np.prod(shape[2:])) if len(shape) > 2 else 1
+        fan_in = (shape[1] if len(shape) > 1 else shape[0]) * rf
+        fan_out = shape[0] * rf
+        if init_type == "normal":
+            return jax.random.normal(key, shape, dtype) * init_gain
+        if init_type == "xavier":
+            std = init_gain * np.sqrt(2.0 / (fan_in + fan_out))
+            return jax.random.normal(key, shape, dtype) * std
+        if init_type == "kaiming":
+            return jax.random.normal(key, shape, dtype) * \
+                np.sqrt(2.0 / fan_in)
+        if init_type == "orthogonal":
+            flat = jax.nn.initializers.orthogonal(
+                scale=init_gain, column_axis=0)(
+                key, (shape[0], int(np.prod(shape[1:]))), dtype)
+            return flat.reshape(shape)
+        raise NotImplementedError(
+            f"initialization method [{init_type}] is not implemented")
+
+    return init
+
+
 class UnetSkipConnectionBlock(nn.Module):
     outer_nc: int
     inner_nc: int
@@ -91,9 +120,12 @@ class UnetSkipConnectionBlock(nn.Module):
     innermost: bool = False
     norm: str = "batch"
     use_dropout: bool = False
+    init_type: str = "normal"
+    init_gain: float = 0.02
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        _winit = make_weight_init(self.init_type, self.init_gain)
         input_nc = self.input_nc if self.input_nc is not None else self.outer_nc
         use_bias = self.norm == "instance"
 
@@ -137,26 +169,29 @@ class UnetGenerator(nn.Module):
     ngf: int = 64
     norm: str = "batch"
     use_dropout: bool = True
+    init_type: str = "normal"
+    init_gain: float = 0.02
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         ngf = self.ngf
+        init = dict(init_type=self.init_type, init_gain=self.init_gain)
         block = UnetSkipConnectionBlock(ngf * 8, ngf * 8, innermost=True,
-                                        norm=self.norm, name="inner")
+                                        norm=self.norm, name="inner", **init)
         for i in range(self.num_downs - 5):
             block = UnetSkipConnectionBlock(
                 ngf * 8, ngf * 8, submodule=block, norm=self.norm,
-                use_dropout=self.use_dropout, name=f"mid{i}")
+                use_dropout=self.use_dropout, name=f"mid{i}", **init)
         block = UnetSkipConnectionBlock(ngf * 4, ngf * 8, submodule=block,
-                                        norm=self.norm, name="up4")
+                                        norm=self.norm, name="up4", **init)
         block = UnetSkipConnectionBlock(ngf * 2, ngf * 4, submodule=block,
-                                        norm=self.norm, name="up2")
+                                        norm=self.norm, name="up2", **init)
         block = UnetSkipConnectionBlock(ngf, ngf * 2, submodule=block,
-                                        norm=self.norm, name="up1")
+                                        norm=self.norm, name="up1", **init)
         block = UnetSkipConnectionBlock(self.output_nc, ngf,
                                         input_nc=self.input_nc,
                                         submodule=block, outermost=True,
-                                        norm=self.norm, name="outer")
+                                        norm=self.norm, name="outer", **init)
         return block(x, train=train)
 
 
@@ -167,9 +202,12 @@ class NLayerDiscriminator(nn.Module):
     ndf: int = 64
     n_layers: int = 3
     norm: str = "batch"
+    init_type: str = "normal"
+    init_gain: float = 0.02
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        _winit = make_weight_init(self.init_type, self.init_gain)
         use_bias = self.norm == "instance"
         w = self.param("w0", _winit, (self.ndf, self.input_nc, 4, 4))
         b = self.param("b0", nn.initializers.zeros, (self.ndf,))
@@ -211,9 +249,12 @@ class PixelDiscriminator(nn.Module):
     input_nc: int
     ndf: int = 64
     norm: str = "batch"
+    init_type: str = "normal"
+    init_gain: float = 0.02
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        _winit = make_weight_init(self.init_type, self.init_gain)
         w = self.param("w0", _winit, (self.ndf, self.input_nc, 1, 1))
         b = self.param("b0", nn.initializers.zeros, (self.ndf,))
         x = _conv(x, w, stride=1, padding=0) + b[None, :, None, None]

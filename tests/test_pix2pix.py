@@ -56,3 +56,27 @@ def test_build_from_config():
     model = build_pix2pix_model(cfg)
     assert model.config.gan_mode == "vanilla"
     assert model.generator.num_downs == 8
+
+
+def test_weight_init_types():
+    """normal | xavier | kaiming | orthogonal (reference models/utils.py:86-98)."""
+    import jax
+    import numpy as np
+    from afcm_tpu.nn.pix2pix import make_weight_init
+
+    key = jax.random.PRNGKey(0)
+    shape = (64, 32, 4, 4)
+    fan_in, fan_out = 32 * 16, 64 * 16
+    w = np.asarray(make_weight_init("normal", 0.02)(key, shape))
+    assert abs(w.std() - 0.02) < 0.002
+    w = np.asarray(make_weight_init("xavier", 1.0)(key, shape))
+    assert abs(w.std() - np.sqrt(2.0 / (fan_in + fan_out))) < 5e-3
+    w = np.asarray(make_weight_init("kaiming", 0.02)(key, shape))
+    assert abs(w.std() - np.sqrt(2.0 / fan_in)) < 5e-3
+    w = np.asarray(make_weight_init("orthogonal", 1.0)(key, shape))
+    flat = w.reshape(64, -1)
+    np.testing.assert_allclose(flat @ flat.T, np.eye(64), atol=1e-4)
+
+    import pytest
+    with pytest.raises(NotImplementedError):
+        make_weight_init("bogus")(key, shape)

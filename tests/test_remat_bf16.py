@@ -59,6 +59,32 @@ def test_bf16_close_to_fp32(rng):
     assert out16.dtype == np.float32  # output cast back
     rel = np.abs(out32 - out16).max() / (np.abs(out32).max() + 1e-9)
     assert rel < 0.05
+    # Pin the bf16 drift budget as PSNR (VERDICT r1 item 3): >= 50 dB keeps
+    # it far inside the 0.1 dB task-metric parity budget (56.3 dB measured
+    # on hardware, BASELINE.md).
+    rng_span = out32.max() - out32.min()
+    psnr = 20 * np.log10(rng_span / np.sqrt(np.mean((out32 - out16) ** 2)))
+    assert psnr >= 50.0, psnr
+
+
+def test_selective_remat_matches(rng):
+    """remat_min_size gates which layers recompute without changing values."""
+    z, c, cond = _inputs(rng)
+    plain = Stylegan3Generator(synthesis_kwargs=dict(SYNTH), **SMALL)
+    sel = Stylegan3Generator(
+        synthesis_kwargs=dict(SYNTH, remat=True, remat_min_size=24), **SMALL)
+    variables = plain.init(jax.random.PRNGKey(0), z, c, cond)
+    np.testing.assert_allclose(
+        np.asarray(plain.apply(variables, z, c, cond)),
+        np.asarray(sel.apply(variables, z, c, cond)), rtol=1e-5, atol=1e-6)
+
+    g_p = jax.grad(lambda v: jnp.mean(jnp.square(
+        plain.apply(v, z, c, cond))))(variables)
+    g_s = jax.grad(lambda v: jnp.mean(jnp.square(
+        sel.apply(v, z, c, cond))))(variables)
+    for a, b in zip(jax.tree.leaves(g_p), jax.tree.leaves(g_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
 
 
 def test_config_knobs_build(rng):
