@@ -55,8 +55,11 @@ def get_default_impl() -> str:
 # fp32 routes to XLA everywhere (the MXU's f32 rate cancels the fusion win).
 def _route_to_pallas(shape, dtype, up, down, fu, fd):
     """Returns the kernel's ms_target, or None to stay on XLA."""
+    import jax
     import jax.numpy as jnp
     if jnp.dtype(dtype) != jnp.bfloat16:
+        return None
+    if jax.default_backend() != "tpu":   # Mosaic path is TPU-only
         return None
     c, h, w = int(shape[1]), int(shape[2]), int(shape[3])
     size = min(h, w)
