@@ -60,7 +60,7 @@ def main():
                 fwd = jax.jit(lambda v, z, c, x: gen.apply(v, z, c, x))
                 out = fwd(variables, z, c, cond)
                 np.asarray(out)  # warm; host fetch = reliable sync on axon
-                iters = 10
+                iters = 20
                 t0 = time.time()
                 for _ in range(iters):
                     out = fwd(variables, z, c, cond)
