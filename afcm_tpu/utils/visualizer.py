@@ -98,6 +98,8 @@ class Visualizer:
         fig.savefig(os.path.join(self.img_dir, f"epoch{epoch:03d}.png"),
                     dpi=80)
         plt.close(fig)
+        if save_result:
+            self._update_html_index()
         if self.wandb_run:
             try:
                 import wandb
@@ -106,3 +108,17 @@ class Visualizer:
                     for name, img in visuals.items()})
             except Exception:
                 pass
+
+    def _update_html_index(self):
+        """Regenerate the web/index.html gallery, newest epoch first
+        (reference: util/visualizer.py:191-212)."""
+        from .html import HTML
+        web_dir = os.path.dirname(self.img_dir)
+        page = HTML(web_dir, f"Experiment name = {self.cfg.name}", refresh=0)
+        pngs = sorted((f for f in os.listdir(self.img_dir)
+                       if f.endswith(".png")), reverse=True)
+        for png in pngs:
+            label = os.path.splitext(png)[0]
+            page.add_header(label)
+            page.add_images([png], [label], [png])
+        page.save()

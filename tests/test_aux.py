@@ -86,3 +86,27 @@ def test_image_pool(rng):
 
     passthrough = ImagePool(pool_size=0)
     np.testing.assert_array_equal(passthrough.query(imgs), imgs)
+
+
+def test_visualizer_html_gallery(tmp_path):
+    """display_current_results writes web/images PNGs + an index.html gallery
+    (reference: util/visualizer.py:191-212)."""
+    import numpy as np
+    from afcm_tpu.config import get_cfg
+    from afcm_tpu.utils.visualizer import Visualizer
+
+    cfg = get_cfg()
+    cfg.checkpoints_dir = str(tmp_path)
+    cfg.name = "viz_test"
+    viz = Visualizer(cfg)
+    visuals = {"real_A": np.zeros((1, 1, 8, 8)),
+               "fake_B": np.ones((1, 1, 8, 8))}
+    viz.display_current_results(visuals, epoch=1)
+    viz.display_current_results(visuals, epoch=2)
+    web = tmp_path / "viz_test" / "web"
+    assert (web / "images" / "epoch001.png").exists()
+    assert (web / "images" / "epoch002.png").exists()
+    index = (web / "index.html").read_text()
+    assert "epoch002" in index and "epoch001" in index
+    # newest first
+    assert index.index("epoch002") < index.index("epoch001")
