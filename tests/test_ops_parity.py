@@ -228,3 +228,20 @@ def test_gaussian_blur_matches_reference_filter2d(ref, rng):
             want = x
         got = np.asarray(ops.gaussian_blur2d(jnp.asarray(x), sigma, max_radius=30))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_conv2d_channel_padding_exact(rng):
+    """The bf16 lane-padding heuristic (64<=C<128 at >=192 spatial) is
+    numerically exact: zero input channels and zero filters contribute 0."""
+    import jax.numpy as jnp
+    from afcm_tpu.ops.modulated_conv import conv2d
+
+    x = jnp.asarray(rng.randn(1, 64, 192, 192), jnp.bfloat16)
+    w = jnp.asarray(rng.randn(91, 64, 3, 3) * 0.05, jnp.bfloat16)
+    got = conv2d(x, w, padding=1)          # padded branch (64->91 channels)
+    want = conv2d(x.astype(jnp.float32),
+                  w.astype(jnp.float32), padding=1)  # fp32: branch disabled
+    assert got.shape == want.shape == (1, 91, 192, 192)
+    rel = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want)) /
+                (jnp.max(jnp.abs(want)) + 1e-9))
+    assert rel < 0.05  # bf16 rounding only — no structural error
