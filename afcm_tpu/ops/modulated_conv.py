@@ -39,12 +39,13 @@ def fma(a, b, c):
 def conv2d(x, w, padding=0, groups: int = 1, flip_weight: bool = True):
     """Plain NCHW conv2d (correlation when flip_weight, like torch.conv2d).
 
-    Channel-padding heuristic (measured on v5e, bf16, 278²): XLA's conv
-    emitter runs C64→64 at 19 TF/s but C128→128 at 121 TF/s — the padded
-    conv is FASTER in absolute time despite 4x the FLOPs (lane starvation).
-    When both channel dims sit in [64, 128) on a large-spatial bf16 conv,
-    zero-pad them to 128 and slice the result — numerically exact, ~1.5 ms
-    saved per such conv (docs/performance.md round 2).
+    Channel-padding heuristic (measured on v5e at 278²): XLA's conv emitter
+    runs C64→64 at 19 TF/s bf16 / 16 TF/s fp32 but C128→128 at 121 / 114 —
+    the padded conv is FASTER in absolute time despite 4x the FLOPs (lane
+    starvation). When both channel dims sit in [64, 128) on a large-spatial
+    conv, zero-pad them to 128 and slice the result — numerically exact,
+    ~1.5-2 ms saved per such conv, and the pad/slice VJP extends the win to
+    the gradient convs in training (docs/performance.md round 2).
     """
     if isinstance(padding, (int, np.integer)):
         padding = ((int(padding), int(padding)), (int(padding), int(padding)))
@@ -56,7 +57,8 @@ def conv2d(x, w, padding=0, groups: int = 1, flip_weight: bool = True):
 
     out_c, in_c = w.shape[0], w.shape[1] * groups
     crop_out = None
-    if (groups == 1 and x.dtype == jnp.bfloat16 and x.shape[2] >= 192
+    if (groups == 1 and x.dtype in (jnp.bfloat16, jnp.float32)
+            and x.shape[2] >= 192
             and 64 <= in_c < 128 and 64 <= out_c < 128):
         x = jnp.pad(x, ((0, 0), (0, 128 - in_c), (0, 0), (0, 0)))
         w = jnp.pad(w, ((0, 128 - out_c), (0, 128 - in_c), (0, 0), (0, 0)))

@@ -236,12 +236,21 @@ def test_conv2d_channel_padding_exact(rng):
     import jax.numpy as jnp
     from afcm_tpu.ops.modulated_conv import conv2d
 
+    import jax.lax as lax
     x = jnp.asarray(rng.randn(1, 64, 192, 192), jnp.bfloat16)
     w = jnp.asarray(rng.randn(91, 64, 3, 3) * 0.05, jnp.bfloat16)
     got = conv2d(x, w, padding=1)          # padded branch (64->91 channels)
-    want = conv2d(x.astype(jnp.float32),
-                  w.astype(jnp.float32), padding=1)  # fp32: branch disabled
-    assert got.shape == want.shape == (1, 91, 192, 192)
-    rel = float(jnp.max(jnp.abs(got.astype(jnp.float32) - want)) /
-                (jnp.max(jnp.abs(want)) + 1e-9))
-    assert rel < 0.05  # bf16 rounding only — no structural error
+    # unpadded reference: direct lax conv (correlation, like conv2d default)
+    dn = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
+                                    ("NCHW", "OIHW", "NCHW"))
+    for dtype, tol in ((jnp.bfloat16, 2e-2), (jnp.float32, 1e-5)):
+        xd, wd = x.astype(dtype), w.astype(dtype)
+        got = conv2d(xd, wd, padding=1)            # padded branch active
+        want = lax.conv_general_dilated(
+            xd, wd, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=dn)                   # plain conv, flipped
+        assert got.shape == want.shape == (1, 91, 192, 192)
+        rel = float(jnp.max(jnp.abs(got.astype(jnp.float32) -
+                                    want.astype(jnp.float32))) /
+                    (jnp.max(jnp.abs(want.astype(jnp.float32))) + 1e-9))
+        assert rel < tol, (dtype, rel)
