@@ -29,6 +29,9 @@ from . import upfirdn2d as _upfirdn2d
 
 _DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1), ("NCHW", "OIHW", "NCHW"))
 
+# Test hook: force the lane-padding branch regardless of backend.
+_FORCE_CHANNEL_PAD = False
+
 
 def fma(a, b, c):
     """Fused multiply-add a*b + c (reference: torch_utils/ops/fma.py —
@@ -59,7 +62,9 @@ def conv2d(x, w, padding=0, groups: int = 1, flip_weight: bool = True):
     crop_out = None
     if (groups == 1 and x.dtype in (jnp.bfloat16, jnp.float32)
             and x.shape[2] >= 192
-            and 64 <= in_c < 128 and 64 <= out_c < 128):
+            and 64 <= in_c < 128 and 64 <= out_c < 128
+            and (jax.default_backend() == "tpu" or _FORCE_CHANNEL_PAD)):
+        # lane-starvation is TPU-specific; on CPU padding just costs FLOPs
         x = jnp.pad(x, ((0, 0), (0, 128 - in_c), (0, 0), (0, 0)))
         w = jnp.pad(w, ((0, 128 - out_c), (0, 128 - in_c), (0, 0), (0, 0)))
         crop_out = out_c

@@ -237,6 +237,15 @@ def test_conv2d_channel_padding_exact(rng):
     from afcm_tpu.ops.modulated_conv import conv2d
 
     import jax.lax as lax
+    import afcm_tpu.ops.modulated_conv as mc
+    mc._FORCE_CHANNEL_PAD = True   # branch is TPU-gated; force it on CPU
+    try:
+        _run_channel_padding_check(rng, lax, jnp, conv2d)
+    finally:
+        mc._FORCE_CHANNEL_PAD = False
+
+
+def _run_channel_padding_check(rng, lax, jnp, conv2d):
     x = jnp.asarray(rng.randn(1, 64, 192, 192), jnp.bfloat16)
     w = jnp.asarray(rng.randn(91, 64, 3, 3) * 0.05, jnp.bfloat16)
     got = conv2d(x, w, padding=1)          # padded branch (64->91 channels)
