@@ -94,3 +94,48 @@ def test_rand_output_selects_random_modality(tmp_path):
             if np.allclose(item["B"][0], norm[k][5], atol=1e-6):
                 seen_b.add(k)
     assert len(seen_b) >= 2, seen_b
+
+
+def test_cat_inputs_concatenates_modalities(tmp_path):
+    """cat_inputs=True stacks the windows of every input modality except the
+    output one (reference: cmsr_dataset.py:115-119, 130-142)."""
+    import h5py
+    import random
+
+    from afcm_tpu.data import create_dataset
+
+    vols = {"t1": _volume(6, (12, 96, 96)), "t2": _volume(7, (12, 96, 96)),
+            "flair": _volume(8, (12, 96, 96))}
+    d = tmp_path / "train"
+    os.makedirs(d)
+    with h5py.File(d / "s.h5", "w") as f:
+        for k, v in vols.items():
+            f[k] = v
+
+    cfg = {
+        "dataset_mode": "cmsr", "batch_size": 2, "serial_batches": True,
+        "raw_internal_path_in": ["t1", "t2", "flair"],
+        "raw_internal_path_out": ["t1"],
+        "rand_output": False, "cat_inputs": True, "thickness": [4],
+        "slice_num": 4, "global_normalization": None,
+        "train": {"file_paths": [str(d)],
+                  "slice_builder": {"name": "SliceBuilder",
+                                    "patch_shape": [1, 96, 96],
+                                    "stride_shape": [1, 16, 16]},
+                  "transformer": {"raw": {
+                      "Normalize": {"enabled": True, "min_value": 0.0,
+                                    "max_value": 255.0},
+                      "ToTensor": {"enabled": True, "expand_dims": False}}}},
+    }
+    ds = create_dataset(cfg, phase="train").datasets[0]
+    random.seed(0)
+    item = ds.get_item(5)
+    # output modality t1 excluded -> inputs t2+flair, each a 4-slice window
+    assert item["A"].shape == (8, 96, 96)
+    norm = {k: np.clip(2 * (v.astype(np.float32) / 255) - 1, -1, 1)
+            for k, v in vols.items()}
+    # idx 5, thickness 4 -> window anchors [0(->1? no: idx_a=4 -> [0,4,8,None])]
+    # verify channel 1 (anchor of first input modality t2) and channel 5
+    # (anchor of flair)
+    np.testing.assert_allclose(item["A"][1], norm["t2"][4], atol=1e-6)
+    np.testing.assert_allclose(item["A"][5], norm["flair"][4], atol=1e-6)
