@@ -142,7 +142,12 @@ def _chain_axis_plan(fu, fd, up, down, p0, p1, in_len, ms_target, flip,
 
 
 def _pick_cb(c, hx, wxw, msl, n_th, boh, bow, bytes_per):
-    """Largest channel block whose working set fits the VMEM budget."""
+    """Largest channel block whose working set fits the VMEM budget.
+
+    The budget (7 MB) is set against Mosaic's 16 MB scoped-VMEM limit with
+    enough headroom that the backward kernel's extra f32 dA accumulator
+    ([hx, cb*msl], up to ~2.5 MB at the routed configs) also fits — fwd and
+    bwd share cb so the wrapper's channel padding stays consistent."""
     hout = n_th * boh
     for cb in (256, 128, 64, 32, 16, 8, 4, 2, 1):
         if cb > c and cb != 1:
