@@ -47,6 +47,9 @@ class _Norm(nn.Module):
 
     features: int
     kind: str = "batch"
+    # BatchNorm gamma ~ N(1, init_gain) for every init policy
+    # (reference: models/utils.py:99-101).
+    init_gain: float = 0.02
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -57,7 +60,8 @@ class _Norm(nn.Module):
             var = jnp.var(x, axis=(2, 3), keepdims=True)
             return (x - mean) * jax.lax.rsqrt(var + 1e-5)
         # batch norm with running stats (affine), torch defaults
-        scale = self.param("scale", nn.initializers.normal(0.02),
+        scale = self.param("scale",
+                           nn.initializers.normal(self.init_gain),
                            (self.features,)) + 1.0
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         ra_mean = self.variable("batch_stats", "mean",
@@ -138,7 +142,8 @@ class UnetSkipConnectionBlock(nn.Module):
             down_b = self.param("down_b", nn.initializers.zeros, (self.inner_nc,))
             h = h + down_b[None, :, None, None]
         if not (self.outermost or self.innermost):
-            h = _Norm(self.inner_nc, self.norm, name="down_norm")(h, train)
+            h = _Norm(self.inner_nc, self.norm, self.init_gain,
+                      name="down_norm")(h, train)
 
         if self.submodule is not None:
             h = self.submodule(h, train=train)
@@ -154,7 +159,8 @@ class UnetSkipConnectionBlock(nn.Module):
         if use_bias:
             up_b = self.param("up_b", nn.initializers.zeros, (self.outer_nc,))
             h = h + up_b[None, :, None, None]
-        h = _Norm(self.outer_nc, self.norm, name="up_norm")(h, train)
+        h = _Norm(self.outer_nc, self.norm, self.init_gain,
+                  name="up_norm")(h, train)
         if self.use_dropout:
             h = nn.Dropout(0.5, deterministic=not train)(h)
         return jnp.concatenate([x, h], axis=1)
@@ -224,7 +230,8 @@ class NLayerDiscriminator(nn.Module):
                 b = self.param(f"b{n}", nn.initializers.zeros,
                                (self.ndf * nf_mult,))
                 x = x + b[None, :, None, None]
-            x = _Norm(self.ndf * nf_mult, self.norm, name=f"norm{n}")(x, train)
+            x = _Norm(self.ndf * nf_mult, self.norm, self.init_gain,
+                      name=f"norm{n}")(x, train)
             x = jnp.where(x >= 0, x, 0.2 * x)
 
         nf_prev, nf_mult = nf_mult, min(2 ** self.n_layers, 8)
@@ -235,7 +242,8 @@ class NLayerDiscriminator(nn.Module):
             b = self.param("b_last", nn.initializers.zeros,
                            (self.ndf * nf_mult,))
             x = x + b[None, :, None, None]
-        x = _Norm(self.ndf * nf_mult, self.norm, name="norm_last")(x, train)
+        x = _Norm(self.ndf * nf_mult, self.norm, self.init_gain,
+                  name="norm_last")(x, train)
         x = jnp.where(x >= 0, x, 0.2 * x)
 
         w = self.param("w_out", _winit, (1, self.ndf * nf_mult, 4, 4))
@@ -261,7 +269,8 @@ class PixelDiscriminator(nn.Module):
         x = jnp.where(x >= 0, x, 0.2 * x)
         w = self.param("w1", _winit, (self.ndf * 2, self.ndf, 1, 1))
         x = _conv(x, w, stride=1, padding=0)
-        x = _Norm(self.ndf * 2, self.norm, name="norm1")(x, train)
+        x = _Norm(self.ndf * 2, self.norm, self.init_gain,
+                  name="norm1")(x, train)
         x = jnp.where(x >= 0, x, 0.2 * x)
         w = self.param("w2", _winit, (1, self.ndf * 2, 1, 1))
         b = self.param("b2", nn.initializers.zeros, (1,))

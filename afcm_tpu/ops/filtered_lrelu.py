@@ -53,7 +53,7 @@ def get_default_impl() -> str:
 # (a) low-channel large-spatial same-rate layers — the lane-starved tail of
 # the conv emitter — and (b) up4 transition layers at mid target 256.
 # fp32 routes to XLA everywhere (the MXU's f32 rate cancels the fusion win).
-def _route_to_pallas(shape, dtype, up, down, fu, fd):
+def _route_to_pallas(shape, dtype, up, down):
     """Returns the kernel's ms_target, or None to stay on XLA."""
     import jax
     import jax.numpy as jnp
@@ -65,7 +65,7 @@ def _route_to_pallas(shape, dtype, up, down, fu, fd):
     size = min(h, w)
     if up == 2 and down == 2 and c <= 96 and size >= 192:
         return 128            # 1.2-1.5x measured (276^2, C 64-91)
-    if up == 4 and down == 2 and size >= 40:
+    if up == 4 and down == 2:
         if c <= 128 and size >= 128:
             return 256        # 1.3x (148^2 C128)
         if c >= 256 and 48 <= size <= 96:
@@ -101,7 +101,7 @@ def filtered_lrelu(x, fu=None, fd=None, b=None, up=1, down=1, padding=0,
     if impl in ("pallas", "auto"):
         from .pallas import filtered_lrelu_mxu
         ms = 128 if impl == "pallas" else \
-            _route_to_pallas(x.shape, x.dtype, up, down, fu, fd)
+            _route_to_pallas(x.shape, x.dtype, up, down)
         if ms is not None:
             out = filtered_lrelu_mxu(x, fu, fd, b, up, down,
                                      (px0, px1, py0, py1), gain, slope,

@@ -30,6 +30,8 @@ def grid_sample(input, grid):
     n, c, h, w = input.shape
 
     # Normalized -> (float) pixel coordinates; align_corners=False.
+    # Coordinates stay in the grid dtype; the bilinear weights are cast to
+    # the input dtype so the output keeps the input's dtype (torch contract).
     x = (grid[..., 0] + 1.0) * (w / 2.0) - 0.5          # [N, Ho, Wo]
     y = (grid[..., 1] + 1.0) * (h / 2.0) - 0.5
 
@@ -50,6 +52,7 @@ def grid_sample(input, grid):
             bidx = jnp.arange(n)[:, None, None, None]
             tap = input[bidx, jnp.arange(c)[None, :, None, None],
                         iyc[:, None], ixc[:, None]]      # [N, C, Ho, Wo]
-            weight = (wx * wy * valid.astype(input.dtype))[:, None]
+            weight = ((wx * wy).astype(input.dtype) *
+                      valid.astype(input.dtype))[:, None]
             out = out + tap * weight
     return out

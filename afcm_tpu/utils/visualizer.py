@@ -115,8 +115,11 @@ class Visualizer:
         from .html import HTML
         web_dir = os.path.dirname(self.img_dir)
         page = HTML(web_dir, f"Experiment name = {self.cfg.name}", refresh=0)
+        def _epoch_key(name):
+            digits = "".join(ch for ch in name if ch.isdigit())
+            return int(digits) if digits else -1
         pngs = sorted((f for f in os.listdir(self.img_dir)
-                       if f.endswith(".png")), reverse=True)
+                       if f.endswith(".png")), key=_epoch_key, reverse=True)
         for png in pngs:
             label = os.path.splitext(png)[0]
             page.add_header(label)
