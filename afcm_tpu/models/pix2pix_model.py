@@ -18,7 +18,7 @@ import optax
 
 from ..nn.pix2pix import NLayerDiscriminator, PixelDiscriminator, UnetGenerator
 from . import losses
-from .train_state import make_optimizer
+from .train_state import make_optimizer, opt_state_with_lr
 
 
 @dataclasses.dataclass(frozen=True)
@@ -45,14 +45,9 @@ class Pix2PixState(flax.struct.PyTreeNode):
     opt_state_D: dict
 
     def with_lr(self, lr_G: float, lr_D: float) -> "Pix2PixState":
-        # Rebuild instead of mutating the hyperparams dict in place — the
-        # same donation-aliasing hazard fixed in GANTrainState.with_lr.
-        def set_lr(opt_state, lr):
-            hp = dict(opt_state.hyperparams)
-            hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
-            return opt_state._replace(hyperparams=hp)
-        return self.replace(opt_state_G=set_lr(self.opt_state_G, lr_G),
-                            opt_state_D=set_lr(self.opt_state_D, lr_D))
+        return self.replace(
+            opt_state_G=opt_state_with_lr(self.opt_state_G, lr_G),
+            opt_state_D=opt_state_with_lr(self.opt_state_D, lr_D))
 
 
 class Pix2PixModel:

@@ -25,6 +25,15 @@ def make_optimizer(learning_rate: float, beta1: float = 0.0,
         learning_rate=learning_rate, b1=beta1, b2=beta2, eps=eps)
 
 
+def opt_state_with_lr(opt_state, lr):
+    """Rebuild an optax InjectHyperparamsState with a new learning rate —
+    never mutate the hyperparams dict in place (the previous state would
+    alias it, which is unsafe under buffer donation)."""
+    hp = dict(opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state._replace(hyperparams=hp)
+
+
 class GANTrainState(flax.struct.PyTreeNode):
     step: jnp.ndarray
     params_G: Any
@@ -37,15 +46,9 @@ class GANTrainState(flax.struct.PyTreeNode):
     opt_state_D: Any
 
     def with_lr(self, lr_G: float, lr_D: float) -> "GANTrainState":
-        # Rebuild the InjectHyperparamsState instead of mutating its dict in
-        # place — in-place mutation aliases the previous state, which is
-        # unsafe under buffer donation (VERDICT r1 weak item 7).
-        def set_lr(opt_state, lr):
-            hp = dict(opt_state.hyperparams)
-            hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
-            return opt_state._replace(hyperparams=hp)
-        return self.replace(opt_state_G=set_lr(self.opt_state_G, lr_G),
-                            opt_state_D=set_lr(self.opt_state_D, lr_D))
+        return self.replace(
+            opt_state_G=opt_state_with_lr(self.opt_state_G, lr_G),
+            opt_state_D=opt_state_with_lr(self.opt_state_D, lr_D))
 
 
 def ema_beta(batch_size: int, ema_kimgs: float, ramp: Optional[float],

@@ -82,15 +82,10 @@ class _Norm(nn.Module):
         return x * scale[None, :, None, None] + bias[None, :, None, None]
 
 
-def _winit(key, shape, dtype=jnp.float32):
-    return jax.random.normal(key, shape, dtype) * 0.02
-
-
 def make_weight_init(init_type: str = "normal", init_gain: float = 0.02):
     """Weight initializers for torch-layout [out, in, *k] kernels
     (reference: models/utils.py:72-110 — normal | xavier | kaiming |
     orthogonal; kaiming ignores the gain like torch's kaiming_normal_)."""
-    import numpy as np
 
     def init(key, shape, dtype=jnp.float32):
         rf = int(np.prod(shape[2:])) if len(shape) > 2 else 1

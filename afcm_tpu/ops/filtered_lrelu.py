@@ -23,6 +23,8 @@ clamp -> FIR -> decimate.
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .bias_act import bias_act as _bias_act_fn
@@ -55,8 +57,6 @@ def get_default_impl() -> str:
 # fp32 routes to XLA everywhere (the MXU's f32 rate cancels the fusion win).
 def _route_to_pallas(shape, dtype, up, down):
     """Returns the kernel's ms_target, or None to stay on XLA."""
-    import jax
-    import jax.numpy as jnp
     if jnp.dtype(dtype) != jnp.bfloat16:
         return None
     if jax.default_backend() != "tpu":   # Mosaic path is TPU-only
