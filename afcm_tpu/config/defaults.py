@@ -40,6 +40,12 @@ def get_default_cfg() -> CfgNode:
     c.loaders.random_modality_in = False
     c.loaders.random_modality_out = False
     c.loaders.preprocess = "none"
+    # image-folder dataset keys (aligned/unaligned/single; reference:
+    # data/base_dataset.py get_transform + options/base_options defaults)
+    c.loaders.dataroot = ""
+    c.loaders.load_size = 286
+    c.loaders.crop_size = 256
+    c.loaders.max_dataset_size = 0       # 0 = unbounded
     c.loaders.thickness = []
     c.loaders.out_thickness = 1.0
     c.loaders.global_normalization = None
@@ -286,7 +292,11 @@ def _comodgan_defaults(c: CfgNode):
 
 
 def _pix2pix_defaults(c: CfgNode):
-    """reference: models/pix2pix_model.py:16-65"""
+    """reference: models/pix2pix_model.py:16-65 (the dataset_mode/preprocess
+    defaults come from the upstream pix2pix base options: aligned A|B pairs
+    with resize-and-crop, reference: data/aligned_dataset.py)"""
+    c.loaders.dataset_mode = "aligned"
+    c.loaders.preprocess = "resize_and_crop"
     g = c.model.G
     g.netG = "unet_256"
     g.input_nc = 1

@@ -115,9 +115,11 @@ class TestLoader:
             yield a, slice_idx, indices
 
 
-def create_dataset(loaders_config, phase: str) -> CmsrDataset:
+def create_dataset(loaders_config, phase: str):
     """Dataset factory by ``loaders.dataset_mode``
-    (reference: data/__init__.py:46-58)."""
+    (reference: data/__init__.py:18-58 find_dataset_using_name — the closed
+    set here covers every dataset the reference ships: the h5/NII volume
+    pipelines plus the legacy pix2pix image-folder datasets)."""
     mode = loaders_config.get("dataset_mode", "cmsr")
     if mode == "cmsr":
         return CmsrDataset(loaders_config, phase=phase,
@@ -126,6 +128,35 @@ def create_dataset(loaders_config, phase: str) -> CmsrDataset:
         from .nii_dataset import StandardNIIDataset
         return CmsrDataset(loaders_config, phase=phase,
                            dataset_cls=StandardNIIDataset)
+    if mode in ("aligned", "unaligned", "single"):
+        from .image_datasets import (AlignedDataset, SingleDataset,
+                                     UnalignedDataset)
+        max_size = loaders_config.get("max_dataset_size", 0) or float("inf")
+        common = dict(dataroot=loaders_config["dataroot"],
+                      preprocess=loaders_config.get("preprocess",
+                                                    "resize_and_crop"),
+                      load_size=loaders_config.get("load_size", 286),
+                      crop_size=loaders_config.get("crop_size", 256),
+                      max_dataset_size=max_size)
+        # the aligned/unaligned folder layout has no val split; reference
+        # pix2pix validates on the test folder when present, else on train
+        if phase == "val":
+            import os
+            folder = "test" if os.path.isdir(
+                os.path.join(common["dataroot"], "test")) else "train"
+            phase = folder
+        if mode == "aligned":
+            return AlignedDataset(phase=phase, **common)
+        if mode == "unaligned":
+            return UnalignedDataset(
+                phase=phase,
+                serial_batches=loaders_config.get("serial_batches", False),
+                **common)
+        common.pop("dataroot")
+        return SingleDataset(dataroot=loaders_config["dataroot"], **common)
+    if mode == "template":
+        from .template_dataset import TemplateDataset
+        return TemplateDataset(loaders_config, phase=phase)
     raise NotImplementedError(f"dataset_mode {mode}")
 
 

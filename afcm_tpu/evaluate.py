@@ -35,12 +35,20 @@ def rescale_intensity(volume, percentils=(0.5, 99.5), bins_num=256,
 
 
 def make_forward_fn(model, state, seed: int = 0):
-    """Jitted (A, slice_idx) -> fake_B closure over the EMA generator."""
+    """Jitted (A, slice_idx) -> fake_B closure over the EMA generator.
+
+    Draws a fresh z key per batch (fold_in on a call counter), matching the
+    reference protocol which samples new gen_z for every test batch
+    (reference: models/comodgan_model.py:101-108). The seed is fixed so a
+    given evaluation run is still reproducible end to end."""
     key = jax.random.PRNGKey(seed)
+    counter = [0]
 
     def forward(a_batch, slice_idx):
+        sub = jax.random.fold_in(key, counter[0])
+        counter[0] += 1
         return model.eval_step(state, jnp.asarray(a_batch),
-                               jnp.asarray(slice_idx), key)
+                               jnp.asarray(slice_idx), sub)
     return forward
 
 

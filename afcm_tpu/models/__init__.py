@@ -75,6 +75,20 @@ def build_discriminator(d_cfg: Dict[str, Any]):
         epilogue_kwargs=d_cfg.get("epilogue_kwargs", {}))
 
 
+def build_model(cfg):
+    """Top-level model factory: dispatch on ``cfg.model.name``
+    (reference: models/__init__.py:54-67 create_model). ``stylegan3`` and
+    ``comodgan`` assemble the co-modulated GANModel; ``pix2pix`` the
+    baseline conditional GAN."""
+    name = getattr(cfg.model, "name", "stylegan3")
+    if name == "pix2pix":
+        from .pix2pix_model import build_pix2pix_model
+        return build_pix2pix_model(cfg)
+    if name in ("stylegan3", "comodgan"):
+        return build_gan_model(cfg)
+    raise NotImplementedError(f"model name [{name}] is not recognized")
+
+
 def build_gan_model(cfg) -> GANModel:
     """Assemble a GANModel from a full config tree (see afcm_tpu.config)."""
     g_cfg = dict(cfg.model.G)
@@ -116,6 +130,6 @@ def build_gan_model(cfg) -> GANModel:
 
 __all__ = [
     "GANConfig", "GANModel", "GANTrainState", "build_discriminator",
-    "build_gan_model", "build_generator", "ema_beta", "ema_update",
-    "gan_loss", "make_optimizer",
+    "build_gan_model", "build_generator", "build_model", "ema_beta",
+    "ema_update", "gan_loss", "make_optimizer",
 ]

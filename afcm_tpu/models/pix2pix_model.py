@@ -99,8 +99,9 @@ class Pix2PixModel:
         return out, stats
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_step(self, state: Pix2PixState, batch, rng
+    def train_step(self, state: Pix2PixState, batch, rng, nimg=None
                    ) -> Tuple[Pix2PixState, Dict[str, jnp.ndarray]]:
+        del nimg  # pix2pix has no nimg-dependent schedule (no blur fade/EMA)
         cfg = self.config
         real_a, real_b = batch["A"], batch["B"]
         rng_g1, rng_g2 = jax.random.split(rng)

@@ -98,10 +98,15 @@ def filtered_lrelu(x, fu=None, fd=None, b=None, up=1, down=1, padding=0,
     slope = float(slope)
     assert gain > 0 and slope >= 0
 
-    if impl in ("pallas", "auto"):
+    if impl in ("pallas", "auto") and jax.default_backend() == "tpu":
         from .pallas import filtered_lrelu_mxu
-        ms = 128 if impl == "pallas" else \
-            _route_to_pallas(x.shape, x.dtype, up, down)
+        if impl == "pallas":
+            # Forced mode keeps the measured tile geometry (256 for the up4
+            # layers, 128 otherwise) but drops the dtype/size win-gates.
+            ms = _route_to_pallas(x.shape, x.dtype, up, down) \
+                or (256 if up == 4 else 128)
+        else:
+            ms = _route_to_pallas(x.shape, x.dtype, up, down)
         if ms is not None:
             out = filtered_lrelu_mxu(x, fu, fd, b, up, down,
                                      (px0, px1, py0, py1), gain, slope,

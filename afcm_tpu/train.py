@@ -21,7 +21,7 @@ import numpy as np
 
 from .config import default_argument_parser
 from .data import get_train_loaders
-from .models import build_gan_model
+from .models import build_model
 from .models.schedulers import LRScheduler
 from .parallel import (make_mesh_for_batch, replicate_state, shard_batch,
                        shard_params)
@@ -33,8 +33,21 @@ from .utils.visualizer import Visualizer
 def lr_factor(epoch: int, cfg, metric=None) -> float:
     """Per-epoch LR factor, stateless convenience over LRScheduler
     (all four reference policies — models/utils.py:43-69). For ``plateau``
-    — which is stateful — use one LRScheduler across epochs, as train() does."""
+    — which is stateful — use one LRScheduler across epochs, as train() does;
+    a fresh scheduler per call would silently discard the patience state."""
+    if cfg.scheduler.lr_policy == "plateau":
+        raise ValueError(
+            "lr_factor() is stateless; the 'plateau' policy needs a single "
+            "persistent LRScheduler across epochs (see train())")
     return LRScheduler(cfg).factor(epoch, metric)
+
+
+def _slice_idx_of(batch) -> np.ndarray:
+    """slice_idx for models that consume it; zeros for the image datasets
+    (aligned/unaligned have no fractional-position condition)."""
+    if "slice_idx" in batch:
+        return batch["slice_idx"]
+    return np.zeros((len(batch["A"]), 1), np.float32)
 
 
 def validate(model, state, val_loader, rng) -> Optional[Dict[str, float]]:
@@ -42,8 +55,9 @@ def validate(model, state, val_loader, rng) -> Optional[Dict[str, float]]:
     c_psnr, c_ssim = [], []
     for i, batch in enumerate(val_loader):
         rng, sub = jax.random.split(rng)
-        fake = np.asarray(model.eval_step(state, jnp.asarray(batch["A"]),
-                                          jnp.asarray(batch["slice_idx"]), sub))
+        fake = np.asarray(model.eval_step(
+            state, jnp.asarray(batch["A"]),
+            jnp.asarray(_slice_idx_of(batch)), sub))
         preds = np.clip((fake[:, None] + 1) / 2, 0, 1)
         real = np.clip((batch["B"][:, None] + 1) / 2, 0, 1)
         result = evaluate_2D(preds, real)
@@ -73,7 +87,7 @@ def train(cfg, max_iters: Optional[int] = None) -> Dict[str, float]:
     dataset_size = len(loaders["train"].dataset)
     print(f"The number of training images = {dataset_size}")
 
-    model = build_gan_model(cfg)
+    model = build_model(cfg)
     rng, init_rng = jax.random.split(rng)
     sample_batch = next(iter(loaders["train"]))
     sample_batch = {k: jnp.asarray(v) for k, v in sample_batch.items()
@@ -91,7 +105,7 @@ def train(cfg, max_iters: Optional[int] = None) -> Dict[str, float]:
                                cfg.loaders.batch_size)
     multi_device = mesh.devices.size > 1
     if multi_device:
-        if mesh.shape["model"] > 1:
+        if mesh.shape["model"] > 1 and hasattr(state, "params_G_ema"):
             # dp x tp: big params (and their Adam moments / EMA copies)
             # shard their output dim over the model axis.
             state = shard_params(state, mesh)
@@ -144,9 +158,13 @@ def train(cfg, max_iters: Optional[int] = None) -> Dict[str, float]:
                 rng, vis_rng = jax.random.split(rng)
                 fake = model.eval_step(
                     state, jnp.asarray(batch["A"][:1]),
-                    jnp.asarray(batch["slice_idx"][:1]), vis_rng)
+                    jnp.asarray(_slice_idx_of(batch)[:1]), vis_rng)
+                # display the center slice of the 4-window input (channel 1)
+                # when present; single-channel inputs show as-is
+                a_ch = 1 if batch["A"].shape[1] > 1 else 0
                 visualizer.display_current_results(
-                    {"real_A": batch["A"][:1, 1:2], "fake_B": np.asarray(fake),
+                    {"real_A": batch["A"][:1, a_ch:a_ch + 1],
+                     "fake_B": np.asarray(fake),
                      "real_B": batch["B"][:1]}, epoch)
 
             if total_iters % cfg.trainer.print_freq < cfg.loaders.batch_size:
@@ -182,7 +200,8 @@ def train(cfg, max_iters: Optional[int] = None) -> Dict[str, float]:
             break
 
     ckpt.save_state(state, run_dir, "latest")
-    ckpt.save_generator_only(state, run_dir, "latest")
+    if hasattr(state, "params_G_ema"):  # pix2pix keeps no EMA copy
+        ckpt.save_generator_only(state, run_dir, "latest")
     rng, val_rng = jax.random.split(rng)
     final_val = validate(model, state, loaders["val"], val_rng) or last_val
     return final_val or {}

@@ -60,19 +60,27 @@ def main():
                 fwd = jax.jit(lambda v, z, c, x: gen.apply(v, z, c, x))
                 out = fwd(variables, z, c, cond)
                 np.asarray(out)  # warm; host fetch = reliable sync on axon
+                # Median of 3 timing windows: the axon tunnel shows ~±10%
+                # session noise; the median is the scoreboard number and the
+                # spread is recorded so BASELINE.md and BENCH_r* agree.
                 iters = 20
-                t0 = time.time()
-                for _ in range(iters):
-                    out = fwd(variables, z, c, cond)
-                np.asarray(out)
-                dt = (time.time() - t0) / iters
-                results[f"{dtype}_b{batch}"] = round(batch / dt, 2)
+                rates = []
+                for _ in range(3):
+                    t0 = time.time()
+                    for _ in range(iters):
+                        out = fwd(variables, z, c, cond)
+                    np.asarray(out)
+                    rates.append(batch / ((time.time() - t0) / iters))
+                results[f"{dtype}_b{batch}"] = round(float(np.median(rates)), 2)
+                results[f"{dtype}_b{batch}_spread"] = [round(r, 1)
+                                                       for r in sorted(rates)]
             except Exception as exc:
                 print(f"{dtype} batch {batch} failed: {exc!r}", file=sys.stderr)
 
     # Headline: bf16 (output drift vs fp32 measured at 56 dB PSNR — far
     # inside the 0.1 dB parity budget; see BASELINE.md).
-    best = max(results.values(), default=0.0)
+    best = max((v for v in results.values() if isinstance(v, float)),
+               default=0.0)
     print(json.dumps({
         "metric": "256^2 MR slices/sec/chip (CMSR G_ema forward)",
         "value": round(best, 2),

@@ -92,3 +92,30 @@ def test_unsupported_returns_none():
                               np.ones(1, np.float32), None, 2, 2,
                               (1, 1, 1, 1), 1.0, 0.2, None, False,
                               interpret=True) is None
+
+
+@pytest.mark.parametrize("cfg", CONFIGS[:2],
+                         ids=lambda c: f"u{c['up']}d{c['down']}s{c['size']}")
+def test_forward_bf16_matches_xla(cfg, rng):
+    """The production routing feeds the kernel bf16 inputs exclusively; the
+    bf16 scratch-rounding path (A/CC held bf16 between matmuls) gets its own
+    interpret-mode check with a PSNR-style bound against the fp32 XLA chain."""
+    fu, fd = _filters(cfg)
+    x32 = jnp.asarray(rng.randn(2, cfg["c"], cfg["size"],
+                                cfg["size"]).astype(np.float32))
+    b32 = jnp.asarray(rng.randn(cfg["c"]).astype(np.float32))
+    want = np.asarray(filtered_lrelu(
+        x32, fu=fu, fd=fd, b=b32, up=cfg["up"], down=cfg["down"],
+        padding=cfg["pad"], gain=np.sqrt(2), slope=0.2, clamp=256,
+        impl="xla"), np.float32)
+    got = filtered_lrelu_mxu(
+        x32.astype(jnp.bfloat16), fu, fd, b32.astype(jnp.bfloat16),
+        cfg["up"], cfg["down"], cfg["pad"], float(np.sqrt(2)), 0.2, 256.0,
+        False, interpret=True)
+    assert got is not None and got.dtype == jnp.bfloat16
+    got = np.asarray(got, np.float32)
+    assert got.shape == want.shape
+    err = np.mean((got - want) ** 2)
+    data_range = float(want.max() - want.min())
+    psnr = 10 * np.log10(data_range ** 2 / max(err, 1e-12))
+    assert psnr > 38, f"bf16 kernel drift too large: PSNR={psnr:.1f} dB"

@@ -80,3 +80,87 @@ def test_weight_init_types():
     import pytest
     with pytest.raises(NotImplementedError):
         make_weight_init("bogus")(key, shape)
+
+
+# -- CLI reachability: the reference's `train.py --model pix2pix` +
+# `dataset_mode: aligned` flow end-to-end (reference:
+# models/__init__.py:25-45, data/__init__.py:18-37) ------------------------
+
+def _write_aligned_tree(root, n_train=4, n_test=2, size=128):
+    """Synthetic A|B side-by-side RGB images (reference aligned layout)."""
+    import os
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    for phase, n in (("train", n_train), ("test", n_test)):
+        d = os.path.join(root, phase)
+        os.makedirs(d, exist_ok=True)
+        for i in range(n):
+            ab = rng.randint(0, 255, (size, 2 * size, 3), np.uint8)
+            Image.fromarray(ab).save(os.path.join(d, f"{i}.png"))
+
+
+def test_pix2pix_cli_end_to_end(tmp_path):
+    import os
+    from afcm_tpu.config import setup
+    from afcm_tpu.train import train
+
+    class _Args:
+        def __init__(self, config_file, model=None, opts=None):
+            self.config_file = config_file
+            self.model = model
+            self.opts = opts or []
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _write_aligned_tree(str(tmp_path / "data"))
+    cfg = setup(_Args(
+        os.path.join(repo, "configs/demo/pix2pix_tiny.yml"),
+        opts=["loaders.dataroot", str(tmp_path / "data"),
+              "checkpoints_dir", str(tmp_path / "ckpt"),
+              "trainer.max_iters", "4"]))
+    assert cfg.model.name == "pix2pix"
+    assert cfg.loaders.dataset_mode == "aligned"
+    result = train(cfg, max_iters=4)
+    assert "psnr" in result and np.isfinite(result["psnr"])
+    run_dir = os.path.join(str(tmp_path), "ckpt", "pix2pix_tiny")
+    assert os.path.exists(os.path.join(run_dir, "latest_state.msgpack"))
+    log = open(os.path.join(run_dir, "loss_log.txt")).read()
+    assert "G_L1" in log
+
+
+def test_legacy_dataset_registry(tmp_path):
+    """aligned/unaligned/single/template all dispatch from create_dataset."""
+    import os
+    from afcm_tpu.data.loader import create_dataset
+
+    _write_aligned_tree(str(tmp_path / "al"), n_train=2, n_test=1, size=64)
+    base = {"load_size": 70, "crop_size": 64, "max_dataset_size": 0,
+            "preprocess": "resize_and_crop"}
+
+    ds = create_dataset({"dataset_mode": "aligned",
+                         "dataroot": str(tmp_path / "al"), **base}, "train")
+    assert len(ds) == 2
+    item = ds.get_item(0)
+    assert item["A"].shape == (1, 64, 64) and item["B"].shape == (1, 64, 64)
+    assert item["A"].min() >= -1.0 and item["A"].max() <= 1.0
+
+    # val phase falls back to the test folder
+    ds_val = create_dataset({"dataset_mode": "aligned",
+                             "dataroot": str(tmp_path / "al"), **base}, "val")
+    assert len(ds_val) == 1
+
+    for sub in ("trainA", "trainB"):
+        os.makedirs(tmp_path / "un" / sub, exist_ok=True)
+        from PIL import Image
+        Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(
+            str(tmp_path / "un" / sub / "0.png"))
+    ds = create_dataset({"dataset_mode": "unaligned",
+                         "dataroot": str(tmp_path / "un"), **base}, "train")
+    assert len(ds) == 1 and ds.get_item(0)["A"].shape == (3, 64, 64)
+
+    ds = create_dataset({"dataset_mode": "single",
+                         "dataroot": str(tmp_path / "un" / "trainA"),
+                         **base}, "test")
+    assert len(ds) == 1 and ds.get_item(0)["A"].shape == (1, 64, 64)
+
+    ds = create_dataset({"dataset_mode": "template", "crop_size": 32}, "train")
+    assert len(ds) == 16 and ds.get_item(3)["A"].shape == (1, 32, 32)
