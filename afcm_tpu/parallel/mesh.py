@@ -106,6 +106,58 @@ def infer_param_sharding(path_str: str, shape, mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(MODEL_AXIS))
 
 
+_DTYPE_BYTES = {"f64": 8, "f32": 4, "f16": 2, "bf16": 2, "s32": 4, "u32": 4,
+                "s16": 2, "u16": 2, "s8": 1, "u8": 1, "pred": 1}
+
+_COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
+                "collective-permute", "all-to-all")
+
+
+def collective_census(hlo_text: str) -> Dict[str, Dict[str, int]]:
+    """Count + size the cross-device collectives in a compiled HLO module.
+
+    Returns {op: {"count": n, "bytes": total_result_bytes}} for all-reduce /
+    all-gather / reduce-scatter / collective-permute / all-to-all (including
+    their async -start forms; -done ops are skipped so nothing double-counts).
+    This is how the dp-vs-tp communication pattern is made measurable
+    (SURVEY.md §2.9): dp inserts gradient all-reduces; a model axis adds
+    activation/weight all-gathers or reduce-scatters on top.
+    """
+    import re
+
+    shape_re = re.compile(r"(\w+)\[([\d,]*)\]")
+    # `%x = <result shapes> <op>(...)`; async ops appear as `<op>-start` with
+    # a matching `<op>-done` that only forwards the result (not re-counted).
+    op_re = re.compile(
+        r"=\s*(?P<result>[^=]*?)\s*"
+        r"(?P<op>" + "|".join(_COLLECTIVES) + r")(?:-start)?\(")
+    census = {op: {"count": 0, "bytes": 0} for op in _COLLECTIVES}
+    for line in hlo_text.splitlines():
+        m = op_re.search(line)
+        if m is None:
+            continue
+        op = m.group("op")
+        census[op]["count"] += 1
+        nbytes = 0
+        for dtype, dims in shape_re.findall(m.group("result")):
+            if dtype not in _DTYPE_BYTES:
+                continue
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            nbytes += n * _DTYPE_BYTES[dtype]
+        census[op]["bytes"] += nbytes
+    return {op: v for op, v in census.items() if v["count"]}
+
+
+def format_census(census: Dict[str, Dict[str, int]]) -> str:
+    if not census:
+        return "no collectives"
+    return ", ".join(f"{op} x{v['count']} ({v['bytes'] / 1e6:.2f} MB)"
+                     for op, v in sorted(census.items()))
+
+
 def shard_params(params, mesh: Mesh):
     """Apply `infer_param_sharding` across a pytree.
 

@@ -57,17 +57,17 @@ def make_kernel(ip, o, wp, rows, win_len, out_cols):
                 w_ref[tap], rhs, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
         o_ref[0] = (acc.astype(jnp.float32) *
-                    s_ref[0][:, None]).astype(jnp.bfloat16)
+                    s_ref[0, 0][:, None]).astype(jnp.bfloat16)
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def conv_int8(x_flat, w9, scale, ip, o, wp, rows):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def conv_int8(x_flat, w9, scale, ip, o, wp, rows, hpad):
     n = x_flat.shape[0]
-    h_cols = x_flat.shape[2] - 2 * wp  # valid output cols total (H*WP')
+    h_cols = hpad * wp  # valid output cols total (Hpad*WP')
     out_cols = rows * wp
     rb = h_cols // out_cols
-    win_len = rup((rows + 2) * wp, 128)
+    win_len = rup(out_cols + 2 * wp + 2, 128)
     kernel = make_kernel(ip, o, wp, rows, win_len, out_cols)
     return pl.pallas_call(
         kernel,
@@ -77,14 +77,14 @@ def conv_int8(x_flat, w9, scale, ip, o, wp, rows):
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((9, o, ip), lambda n_, r_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, o), lambda n_, r_: (n_, 0),
+            pl.BlockSpec((1, 1, o), lambda n_, r_: (n_, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, o, out_cols), lambda n_, r_: (n_, 0, r_),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((ip, win_len), jnp.int8),
                         pltpu.SemaphoreType.DMA],
-    )(x_flat, w9, scale)
+    )(x_flat, w9, scale[:, None, :])
 
 
 def prep_x(x, ip, wp, rows):
@@ -100,8 +100,12 @@ def prep_x(x, ip, wp, rows):
                       (1, wp - w - 1)))
     xq = xq.reshape(n, ip, (hpad + 2) * wp)
     # tail pad so the last DMA window read stays in bounds
-    tail = rup((rows + 2) * wp, 128) - 2 * wp
-    xq = jnp.pad(xq, ((0, 0), (0, 0), (0, tail)))
+    out_cols = rows * wp
+    rb = hpad // rows
+    win_len = rup(out_cols + 2 * wp + 2, 128)
+    need = (rb - 1) * out_cols + win_len
+    if need > xq.shape[2]:
+        xq = jnp.pad(xq, ((0, 0), (0, 0), (0, need - xq.shape[2])))
     return xq, xscale
 
 
@@ -133,11 +137,11 @@ def conv_int8_full(x, w, wp, rows, ip):
     """Full pipeline: quantize + kernel + reshape/slice."""
     n, i, h, w_sp = x.shape
     o = w.shape[0]
+    hpad = rup(h, rows)
     xq, xs = prep_x(x, ip, wp, rows)
     wq, ws = prep_w(w, ip)
     scale = xs[:, None] * ws[None, :]
-    y = conv_int8(xq, wq, scale, ip, o, wp, rows)
-    hpad = rup(h, rows)
+    y = conv_int8(xq, wq, scale, ip, o, wp, rows, hpad)
     y = y.reshape(n, o, hpad, wp)[:, :, :h, :w_sp]
     return y
 

@@ -91,3 +91,88 @@ def test_graft_dryrun_entry():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)  # dp=4 x tp=2 on the virtual CPU mesh
+
+
+def test_collective_census_parser():
+    from afcm_tpu.parallel import collective_census, format_census
+    hlo = """
+  %ar = f32[64,32]{1,0} all-reduce(f32[64,32] %p), replica_groups={}
+  %ag.1 = f32[8,128]{1,0} all-gather(f32[4,128] %x), dimensions={0}
+  %ars = (f32[16]{0}, f32[16]{0}) all-reduce-start(f32[16] %a, f32[16] %b)
+  %ard = f32[16]{0} all-reduce-done((f32[16], f32[16]) %ars)
+  %add = f32[2]{0} add(f32[2] %u, f32[2] %v)
+"""
+    census = collective_census(hlo)
+    assert census["all-reduce"]["count"] == 2          # plain + start, no done
+    assert census["all-reduce"]["bytes"] == 64 * 32 * 4 + 2 * 16 * 4
+    assert census["all-gather"]["count"] == 1
+    assert census["all-gather"]["bytes"] == 8 * 128 * 4
+    assert "reduce-scatter" not in census
+    assert "all-reduce x2" in format_census(census)
+
+
+def _tiny_gan_model(res=32):
+    from afcm_tpu.models import (GANConfig, GANModel, build_discriminator,
+                                 build_generator)
+    tiny_g = dict(netG="stylegan3", z_dim=32, c_dim=1, w_dim=32,
+                  img_resolution=res, img_channels_in=4, img_channels_out=1,
+                  mapping_kwargs=dict(num_layers=2),
+                  synthesis_kwargs=dict(channel_base=1024, channel_max=32,
+                                        num_layers=4, num_critical=2,
+                                        skip_resolution=res // 2,
+                                        conv_clamp=256, margin_size=4,
+                                        lrelu_upsampling=2))
+    tiny_d = dict(netD="comodgan", c_dim=1, img_resolution=res,
+                  img_channels=5, channel_base=1024, channel_max=32,
+                  epilogue_kwargs=dict(mbstd_group_size=2))
+    return GANModel(build_generator(tiny_g), build_discriminator(tiny_d),
+                    GANConfig(z_dim=32, c_dim=1, batch_size=4))
+
+
+def test_tp_census_differs_from_dp(rng):
+    """Pins the designed communication pattern (SURVEY.md 2.9): dp-only =
+    gradient all-reduces, no gathers; dp x tp adds all-gathers for the
+    model-axis-sharded parameters (VERDICT r2 item 6)."""
+    from afcm_tpu.parallel import collective_census
+    model = _tiny_gan_model()
+    batch = {"A": jnp.asarray(rng.randn(4, 4, 32, 32), jnp.float32),
+             "B": jnp.asarray(rng.randn(4, 1, 32, 32), jnp.float32),
+             "slice_idx": jnp.asarray(rng.rand(4, 1), jnp.float32)}
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+
+    def census_for(mesh_shape, shard_fn):
+        mesh = make_mesh(mesh_shape)
+        st = shard_fn(jax.tree.map(jnp.copy, state), mesh)
+        hlo = type(model).train_step.lower(
+            model, st, shard_batch(dict(batch), mesh), jax.random.PRNGKey(1),
+            jnp.asarray(0.0)).compile().as_text()
+        return collective_census(hlo)
+
+    dp = census_for((4, 1), replicate_state)
+    tp = census_for((2, 2), shard_params)
+    assert dp["all-reduce"]["count"] > 0
+    assert dp.get("all-gather", {}).get("count", 0) == 0, (
+        "dp-only should need no all-gathers (params replicated)")
+    assert tp.get("all-gather", {}).get("count", 0) > 0, (
+        "tp mesh sharded nothing: no all-gathers inserted")
+    assert tp["all-reduce"]["count"] > 0
+
+
+def test_tp_sharded_eval_step_matches(rng):
+    """The EMA inference path must run tp-sharded and match replicated
+    numerics (the predictor's multi-chip serving path)."""
+    from jax.sharding import NamedSharding
+    model = _tiny_gan_model()
+    batch = {"A": jnp.asarray(rng.randn(4, 4, 32, 32), jnp.float32),
+             "B": jnp.asarray(rng.randn(4, 1, 32, 32), jnp.float32),
+             "slice_idx": jnp.asarray(rng.rand(4, 1), jnp.float32)}
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+    ref = np.asarray(model.eval_step(state, batch["A"], batch["slice_idx"],
+                                     jax.random.PRNGKey(7)))
+
+    mesh = make_mesh((2, 2))
+    st = shard_params(jax.tree.map(jnp.copy, state), mesh)
+    a = jax.device_put(batch["A"], NamedSharding(mesh, P("data")))
+    out = np.asarray(model.eval_step(st, a, batch["slice_idx"],
+                                     jax.random.PRNGKey(7)))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
