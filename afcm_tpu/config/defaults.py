@@ -147,6 +147,12 @@ def get_default_cfg() -> CfgNode:
     c.tpu.remat = False
     c.tpu.remat_min_size = 0   # remat only layers >= this spatial size
     c.tpu.filtered_lrelu_impl = "auto"  # auto | xla | pallas
+    # Quantized inference: route eligible 3x3 convs to the int8 MXU kernel
+    # (ops/pallas/conv_int8.py). Applied by evaluate.py; ~57 dB per-layer
+    # fidelity, guarded end-to-end by tests/test_conv_int8.py.
+    c.tpu.conv_int8 = False
+    c.tpu.conv_int8_variant = "dots"    # dots | im2col
+    c.tpu.conv_int8_min_ch = 64         # channel floor for routing
     return c
 
 

@@ -75,6 +75,11 @@ def main(argv=None):
     print(cfg.dump())
     from .ops.filtered_lrelu import set_default_impl
     set_default_impl(getattr(cfg.tpu, "filtered_lrelu_impl", "auto"))
+    if getattr(cfg.tpu, "conv_int8", False):
+        from .ops.modulated_conv import set_conv_impl
+        set_conv_impl("int8",
+                      variant=getattr(cfg.tpu, "conv_int8_variant", "dots"),
+                      min_ch=getattr(cfg.tpu, "conv_int8_min_ch", 64))
     if cfg.tpu.matmul_precision != "default":
         jax.config.update("jax_default_matmul_precision",
                           cfg.tpu.matmul_precision)

@@ -32,6 +32,32 @@ _DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1), ("NCHW", "OIHW", "N
 # Test hook: force the lane-padding branch regardless of backend.
 _FORCE_CHANNEL_PAD = False
 
+# Quantized inference path (round 3): 'int8' routes eligible 3x3 convs to
+# the fused int8 MXU kernel (ops/pallas/conv_int8.py); 'xla' keeps the
+# bf16/f32 conv emitter. Training is safe under 'int8' (straight-through
+# f32 backward) but the knob is intended for inference (bench/predictor).
+_CONV_IMPL = "xla"
+_CONV_INT8_VARIANT = "dots"
+_CONV_INT8_MIN_CH = 64
+# Test hook: allow int8 routing off-TPU (interpret-mode CI).
+_FORCE_INT8 = False
+
+
+def set_conv_impl(impl: str, variant: str = None, min_ch: int = None):
+    """Select the conv implementation: 'xla' (default) or 'int8'."""
+    global _CONV_IMPL, _CONV_INT8_VARIANT, _CONV_INT8_MIN_CH
+    assert impl in ("xla", "int8")
+    _CONV_IMPL = impl
+    if variant is not None:
+        assert variant in ("dots", "im2col")
+        _CONV_INT8_VARIANT = variant
+    if min_ch is not None:
+        _CONV_INT8_MIN_CH = int(min_ch)
+
+
+def get_conv_impl() -> str:
+    return _CONV_IMPL
+
 
 def fma(a, b, c):
     """Fused multiply-add a*b + c (reference: torch_utils/ops/fma.py —
@@ -58,6 +84,11 @@ def conv2d(x, w, padding=0, groups: int = 1, flip_weight: bool = True):
     if not flip_weight and (w.shape[2] > 1 or w.shape[3] > 1):
         w = w[:, :, ::-1, ::-1]
 
+    if _CONV_IMPL == "int8" and groups == 1:
+        y = _try_conv_int8(x, w, padding)
+        if y is not None:
+            return y
+
     out_c, in_c = w.shape[0], w.shape[1] * groups
     crop_out = None
     if (groups == 1 and x.dtype in (jnp.bfloat16, jnp.float32)
@@ -74,6 +105,28 @@ def conv2d(x, w, padding=0, groups: int = 1, flip_weight: bool = True):
     if crop_out is not None:
         y = y[:, :crop_out]
     return y
+
+
+def _try_conv_int8(x, w, padding):
+    """Route an eligible conv to the fused int8 MXU kernel, else None.
+
+    Eligibility: symmetric integer padding 0..2, 3x3 kernel, channels >=
+    the routing floor, a feasible VMEM plan, and a TPU backend (or the CI
+    force hook, which runs the kernel in interpret mode)."""
+    (py0, py1), (px0, px1) = padding
+    if py0 != py1 or px0 != px1 or py0 != px0:
+        return None
+    on_tpu = jax.default_backend() == "tpu"
+    if not (on_tpu or _FORCE_INT8):
+        return None
+    if min(w.shape[0], w.shape[1]) < _CONV_INT8_MIN_CH:
+        return None
+    from .pallas.conv_int8 import conv3x3_int8_ste, int8_routable
+    if not int8_routable(x.shape, w.shape, py0, _CONV_INT8_VARIANT):
+        return None
+    y = conv3x3_int8_ste(x, w.astype(jnp.float32), py0,
+                         _CONV_INT8_VARIANT, not on_tpu)
+    return None if y is None else y.astype(x.dtype)
 
 
 def modulated_conv2d(x, w, s, demodulate: bool = True, padding=0,
