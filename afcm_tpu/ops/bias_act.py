@@ -28,7 +28,12 @@ _SQRT2 = float(np.sqrt(2.0))
 activation_funcs = {
     "linear":   ActivationSpec(lambda x, alpha: x),
     "relu":     ActivationSpec(lambda x, alpha: jax.nn.relu(x), def_gain=_SQRT2),
-    "lrelu":    ActivationSpec(lambda x, alpha: jnp.where(x >= 0, x, x * alpha),
+    # Strict x > 0: the subgradient at exactly 0 is then alpha, matching
+    # torch.nn.functional.leaky_relu. This is measure-zero for trained
+    # weights but NOT at init: zero biases + zero margin padding put large
+    # constant-zero regions at the lrelu input, and the at-zero convention
+    # visibly changes the first bias gradients (tests/test_train_parity.py).
+    "lrelu":    ActivationSpec(lambda x, alpha: jnp.where(x > 0, x, x * alpha),
                                def_alpha=0.2, def_gain=_SQRT2),
     "tanh":     ActivationSpec(lambda x, alpha: jnp.tanh(x)),
     "sigmoid":  ActivationSpec(lambda x, alpha: jax.nn.sigmoid(x)),

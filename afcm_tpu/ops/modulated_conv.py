@@ -32,10 +32,11 @@ _DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1), ("NCHW", "OIHW", "N
 # Test hook: force the lane-padding branch regardless of backend.
 _FORCE_CHANNEL_PAD = False
 
-# Quantized inference path (round 3): 'int8' routes eligible 3x3 convs to
-# the fused int8 MXU kernel (ops/pallas/conv_int8.py); 'xla' keeps the
-# bf16/f32 conv emitter. Training is safe under 'int8' (straight-through
-# f32 backward) but the knob is intended for inference (bench/predictor).
+# Quantized inference path (round 3): 'int8' routes the measured-win 3x3
+# convs to the fused int8 MXU kernel (ops/pallas/conv_int8.py); 'int8_all'
+# routes every eligible conv (experiments); 'xla' keeps the bf16/f32 conv
+# emitter. Training is safe under int8 (straight-through f32 backward) but
+# the knob is intended for inference (bench/predictor).
 _CONV_IMPL = "xla"
 _CONV_INT8_VARIANT = "dots"
 _CONV_INT8_MIN_CH = 64
@@ -43,10 +44,22 @@ _CONV_INT8_MIN_CH = 64
 _FORCE_INT8 = False
 
 
+def _int8_gate(x_shape, w_shape) -> bool:
+    """Measured routing table (v5e, batch 16, in-model A/B — see
+    docs/performance.md round 3): the int8 kernel wins on the small-spatial
+    big-channel conv class where XLA's bf16 emitter is far off peak; the
+    large-spatial mid-channel convs run near the bf16 roofline and the
+    quantize/dequant traffic erases the MXU gain."""
+    o, i = int(w_shape[0]), int(w_shape[1])
+    h = int(x_shape[2])
+    return min(o, i) >= 256 and h <= 56
+
+
 def set_conv_impl(impl: str, variant: str = None, min_ch: int = None):
-    """Select the conv implementation: 'xla' (default) or 'int8'."""
+    """Select the conv implementation: 'xla' (default), 'int8' (measured
+    routing table) or 'int8_all' (every eligible conv)."""
     global _CONV_IMPL, _CONV_INT8_VARIANT, _CONV_INT8_MIN_CH
-    assert impl in ("xla", "int8")
+    assert impl in ("xla", "int8", "int8_all")
     _CONV_IMPL = impl
     if variant is not None:
         assert variant in ("dots", "im2col")
@@ -84,7 +97,7 @@ def conv2d(x, w, padding=0, groups: int = 1, flip_weight: bool = True):
     if not flip_weight and (w.shape[2] > 1 or w.shape[3] > 1):
         w = w[:, :, ::-1, ::-1]
 
-    if _CONV_IMPL == "int8" and groups == 1:
+    if _CONV_IMPL in ("int8", "int8_all") and groups == 1:
         y = _try_conv_int8(x, w, padding)
         if y is not None:
             return y
@@ -120,6 +133,8 @@ def _try_conv_int8(x, w, padding):
     if not (on_tpu or _FORCE_INT8):
         return None
     if min(w.shape[0], w.shape[1]) < _CONV_INT8_MIN_CH:
+        return None
+    if _CONV_IMPL == "int8" and not _int8_gate(x.shape, w.shape):
         return None
     from .pallas.conv_int8 import conv3x3_int8_ste, int8_routable
     if not int8_routable(x.shape, w.shape, py0, _CONV_INT8_VARIANT):

@@ -15,16 +15,18 @@ TPU-native equivalent.
 
 Formulation ("conv as 9 shifted matmuls on flattened spatial"):
   * x [N, I, H, W] -> quantize per-sample int8 (dynamic max scale), pad
-    channels to I' (128-mult), 1px spatial halo, W to WP' (32-mult),
+    channels to I' (128-mult), p-px spatial halo, W to WP' (8-mult),
     flatten rows -> x_flat [N, I', (Hp+2)*WP'].
   * For output position (h, w): out[:, h*WP'+w] = sum_{dy,dx}
     W[dy,dx] @ x_flat[:, (h+dy)*WP' + (w+dx)] — every tap's rhs is ONE
     contiguous column-slice of the flat buffer at static offset
     dy*WP' + dx. Junk columns (w >= W) are computed and sliced away.
-  * Grid (N, RB) over row-blocks. x stays in HBM (`pl.ANY`); each step
-    DMAs a [I', rows*WP' + halo] window (128-aligned start since
-    rows*WP' % 128 == 0), runs the taps on the MXU accumulating int32 in
-    VMEM, then dequantizes: out = acc * scale[n,o] -> bf16.
+  * Grid (N, RB) over row-blocks. An XLA-side overlapped tile gather
+    stages [N, RB, I', rows*WP' + halo] windows that Mosaic's pipeline
+    double-buffers into VMEM (a serial in-kernel DMA capped the taps at
+    ~95 TOP/s; the same dots run ~296 TOP/s BlockSpec-fed). Taps run on
+    the MXU accumulating int32 in VMEM, then the epilogue dequantizes:
+    out = acc * scale[n,o] -> bf16.
   * scale [N, O] folds x_scale * w_scale (and optionally the modulated
     conv's demodulation coefficients — same shape).
 
@@ -59,9 +61,10 @@ _VMEM_BUDGET = 11 * 2 ** 20  # leave headroom under the 16M scoped limit
 def plan_blocks(i_pad: int, o: int, h: int, wp: int, variant: str):
     """Choose (rows, hpad): row-block height and padded H.
 
-    rows*wp must be 128-divisible so the per-block DMA window start is
-    lane-aligned in HBM; within that, maximize cols per MXU issue subject
-    to the VMEM budget (x window + acc + double-buffered out + weights).
+    rows*wp must be 128-divisible so the out BlockSpec's lane-dim blocks
+    are legal (a single block covering H is exempt); within that, maximize
+    cols per MXU issue subject to the VMEM budget (double-buffered x and
+    out blocks + int32 acc + Mosaic stack temps + weights).
     """
     import math
     r_align = 128 // math.gcd(wp, 128)
@@ -74,7 +77,10 @@ def plan_blocks(i_pad: int, o: int, h: int, wp: int, variant: str):
         use = (2 * i_pad * win                  # x block, double-buffered
                + o * cols * 4                   # int32 acc
                + 2 * o * cols * 2               # out block, double-buffered
-               + w_bytes)
+               + o * cols * 4                   # Mosaic stack temps (dot
+               + w_bytes)                       # result / f32 cast, ~acc-sized:
+                                                # an E1-shaped kernel measured
+                                                # 1.55x acc of stack overhead)
         if variant == "im2col":
             use += 9 * i_pad * cols             # staged rhs (int8)
         if use > _VMEM_BUDGET:
@@ -91,6 +97,33 @@ def plan_blocks(i_pad: int, o: int, h: int, wp: int, variant: str):
         return h, h
     hpad = _rup(h, best)
     return best, hpad
+
+
+def plan_wp(i_pad: int, o: int, h: int, w_needed: int, variant: str):
+    """Choose (wp, rows, hpad): the padded width and row blocking.
+
+    Smaller wp means fewer junk columns (at 36^2 the old 32-mult rule burnt
+    40% of compute), but a finer wp coarsens r_align (rows must make
+    rows*wp 128-divisible), which can overshoot VMEM for wide-O layers —
+    so try wp from tightest to coarsest and take the first feasible plan.
+    """
+    best = None
+    tried = set()
+    for m in (8, 16, 32, 64, 128):
+        wp = _rup(w_needed, m)
+        if wp in tried:
+            continue
+        tried.add(wp)
+        plan = plan_blocks(i_pad, o, h, wp, variant)
+        if plan is None:
+            continue
+        rows, hpad = plan
+        # score by total computed cells (junk columns + padded rows),
+        # breaking ties toward larger row blocks (fewer, fatter MXU issues)
+        score = (hpad * wp, -rows)
+        if best is None or score < best[0]:
+            best = (score, wp, rows, hpad)
+    return None if best is None else best[1:]
 
 
 def _make_kernel(i_pad, o, wp, win_len, out_cols, variant):
@@ -221,11 +254,10 @@ def conv3x3_int8(x, w, padding: int = 1, extra_scale=None,
         return None
     i_pad = _rup(i, 128)
     o_pad = _rup(o, 32)
-    wp = _rup(w_sp + 2 * p, 32)
-    plan = plan_blocks(i_pad, o_pad, h_out, wp, variant)
+    plan = plan_wp(i_pad, o_pad, h_out, w_sp + 2 * p, variant)
     if plan is None:
         return None
-    rows, hpad = plan
+    wp, rows, hpad = plan
 
     # --- quantize x per sample (dynamic scale; two passes, fused by XLA
     # into the producer where possible) ---
@@ -277,8 +309,8 @@ def int8_routable(x_shape, w_shape, padding, variant: str = "dots") -> bool:
         return False
     i_pad = _rup(int(w_shape[1]), 128)
     o_pad = _rup(int(w_shape[0]), 32)
-    wp = _rup(w_sp + 2 * p, 32)
-    return plan_blocks(i_pad, o_pad, h + 2 * p - 2, wp, variant) is not None
+    return plan_wp(i_pad, o_pad, h + 2 * p - 2, w_sp + 2 * p,
+                   variant) is not None
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))

@@ -55,7 +55,7 @@ _ALIGN = 16          # sublane alignment that is layout-free for f32 and bf16
 
 
 def _chain_axis_plan(fu, fd, up, down, p0, p1, in_len, ms_target, flip,
-                     align):
+                     align, bo_align=None):
     """Tiling plan for one separable axis of the full chain: up-FIR with taps
     ``fu`` (per-axis gain ``up``; up^2 total across both axes, matching
     reference upfirdn2d gain=up**2), then down-FIR with taps ``fd`` (gain 1).
@@ -81,6 +81,12 @@ def _chain_axis_plan(fu, fd, up, down, p0, p1, in_len, ms_target, flip,
         if cand % align or (cand * down) % up:
             continue
         if ((cand * down) // up) % align:
+            continue
+        if bo_align and cand % bo_align:
+            # lane-aligned output tiles: the XLA-side gather slices land on
+            # 128-lane boundaries and the reassembly transpose relayouts
+            # cheaply (VERDICT r2 item 3), at the cost of a lane-padded mid
+            # window (msl up to 384) shrinking the channel block.
             continue
         bo = cand
         break
@@ -141,21 +147,30 @@ def _chain_axis_plan(fu, fd, up, down, p0, p1, in_len, ms_target, flip,
                 pad_hi=pad_hi, mu=mu, md=md, out_len=out_len)
 
 
+_H_CHUNK = 1024     # lane chunk for the H-pass dots (bounds the f32 temps)
+
+
 def _pick_cb(c, hx, wxw, msl, n_th, boh, bow, bytes_per):
     """Largest channel block whose working set fits the VMEM budget.
 
     The budget (7 MB) is set against Mosaic's 16 MB scoped-VMEM limit with
     enough headroom that the backward kernel's extra f32 dA accumulator
     ([hx, cb*msl], up to ~2.5 MB at the routed configs) also fits — fwd and
-    bwd share cb so the wrapper's channel padding stays consistent."""
+    bwd share cb so the wrapper's channel padding stays consistent.
+
+    The H-pass dot temps are lane-chunked to _H_CHUNK (round 3): before,
+    the transient [mshl, cb*msl] f32 b/l values were the LARGEST term in
+    the working set and capped cb at the C>=128 layers; chunking bounds
+    them at [mshl, _H_CHUNK] regardless of cb."""
     hout = n_th * boh
     for cb in (256, 128, 64, 32, 16, 8, 4, 2, 1):
         if cb > c and cb != 1:
             continue
+        lanes = cb * msl
         need = (cb * (2 * hx * wxw + 2 * hout * bow) +      # x + out blocks
                 hx * cb * msl +                              # A scratch
                 hout * cb * msl +                            # CC scratch
-                2 * 128 * cb * msl * (4 // bytes_per)        # B/L f32 temps
+                2 * 128 * min(lanes, _H_CHUNK) * (4 // bytes_per)  # b/l temps
                 ) * bytes_per
         if need <= _VMEM_BUDGET:
             return cb
@@ -164,7 +179,8 @@ def _pick_cb(c, hx, wxw, msl, n_th, boh, bow, bytes_per):
 
 @functools.lru_cache(maxsize=None)
 def _build_mxu_call(in_h, in_w, c, fu_key, fd_key, up, down, padding, gain,
-                    slope, clamp, flip, dtype_name, ms_target, interpret):
+                    slope, clamp, flip, dtype_name, ms_target, interpret,
+                    bo_align=None):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -173,8 +189,12 @@ def _build_mxu_call(in_h, in_w, c, fu_key, fd_key, up, down, padding, gain,
     px0, px1, py0, py1 = padding
     plan_h = _chain_axis_plan(fu, fd, up, down, py0, py1, in_h, ms_target,
                               flip, _ALIGN)
-    plan_w = _chain_axis_plan(fu, fd, up, down, px0, px1, in_w, ms_target,
-                              flip, _ALIGN)
+    # bo_align applies to the W axis only: that is where the overlapped
+    # gather slices and the reassembly transpose live.
+    plan_w = _chain_axis_plan(fu, fd, up, down, px0, px1, in_w,
+                              max(ms_target,
+                                  (bo_align or 0) * down + len(fd) + 2),
+                              flip, _ALIGN, bo_align=bo_align)
     if plan_h is None or plan_w is None:
         return None
 
@@ -209,16 +229,18 @@ def _build_mxu_call(in_h, in_w, c, fu_key, fd_key, up, down, padding, gain,
     gain_f, slope_f = float(gain), float(slope)
     clamp_f = None if clamp is None else float(clamp)
 
+    # strict > 0 so the at-zero subgradient is slope*gain, matching torch
+    # leaky_relu and ops/bias_act.py (see tests/test_train_parity.py)
     def _act(b):
-        t = jnp.where(b >= 0, b, b * slope_f) * gain_f
+        t = jnp.where(b > 0, b, b * slope_f) * gain_f
         if clamp_f is not None:
             t = jnp.clip(t, -clamp_f, clamp_f)
         return t
 
     def _act_mask(b):
-        m = jnp.where(b >= 0, gain_f, slope_f * gain_f)
+        m = jnp.where(b > 0, gain_f, slope_f * gain_f)
         if clamp_f is not None:
-            t = jnp.where(b >= 0, b, b * slope_f) * gain_f
+            t = jnp.where(b > 0, b, b * slope_f) * gain_f
             m = m * ((t >= -clamp_f) & (t <= clamp_f)).astype(f32)
         return m
 
@@ -229,18 +251,28 @@ def _build_mxu_call(in_h, in_w, c, fu_key, fd_key, up, down, padding, gain,
                         preferred_element_type=f32)       # [hx, mswl]
             a_ref[:, ci * mswl:(ci + 1) * mswl] = a.astype(cdt)
 
+    # H-pass dots run in lane chunks so the transient f32 b/l values stay
+    # bounded (~[mshl, _H_CHUNK]) — that transient, not the A scratch, was
+    # what capped the channel block at the C>=128 layers (round 3). Chunks
+    # are channel-slot aligned so the backward's per-channel g dots line up.
+    _ch_chunk = max(1, _H_CHUNK // mswl)
+    lane_chunks = [(c0, min(c0 + _ch_chunk, cb),
+                    c0 * mswl, min(c0 + _ch_chunk, cb) * mswl)
+                   for c0 in range(0, cb, _ch_chunk)]
+
     def fwd_kernel(x_ref, muw_ref, muht_ref, mdht_ref, mdw_ref, o_ref,
                    a_ref, cc_ref):
         _wup(x_ref, muw_ref, a_ref)
-        # H passes: one matmul per h-tile covering all channels.
+        # H passes: one matmul per h-tile per lane chunk.
         for t in range(n_th):
-            a_t = a_ref[t * sh:t * sh + wxh, :]           # [wxh, lanes]
-            b = jnp.dot(muht_ref[...], a_t,
-                        preferred_element_type=f32)       # [mshl, lanes]
-            l = _act(b).astype(cdt)
-            cc = jnp.dot(mdht_ref[...], l,
-                         preferred_element_type=f32)      # [boh, lanes]
-            cc_ref[t * boh:(t + 1) * boh, :] = cc.astype(cdt)
+            for (_, _, l0, l1) in lane_chunks:
+                a_t = a_ref[t * sh:t * sh + wxh, l0:l1]   # [wxh, chunk]
+                b = jnp.dot(muht_ref[...], a_t,
+                            preferred_element_type=f32)   # [mshl, chunk]
+                l = _act(b).astype(cdt)
+                cc = jnp.dot(mdht_ref[...], l,
+                             preferred_element_type=f32)  # [boh, chunk]
+                cc_ref[t * boh:(t + 1) * boh, l0:l1] = cc.astype(cdt)
         # W-down per channel (fat row dim Hout).
         for ci in range(cb):
             y = jnp.dot(cc_ref[:, ci * mswl:(ci + 1) * mswl], mdw_ref[...],
@@ -252,28 +284,29 @@ def _build_mxu_call(in_h, in_w, c, fu_key, fd_key, up, down, padding, gain,
         _wup(x_ref, muw_ref, a_ref)
         da_ref[...] = jnp.zeros((hx, lanes), f32)
         # Recompute b per tile, apply mask, walk the transposed chain, and
-        # accumulate overlapping dA rows.
+        # accumulate overlapping dA rows — per lane chunk, like the forward.
         for t in range(n_th):
-            a_t = a_ref[t * sh:t * sh + wxh, :]
-            b = jnp.dot(muht_ref[...], a_t,
-                        preferred_element_type=f32)       # [mshl, lanes]
-            mask = _act_mask(b)
-            # per-channel dcc rows for this tile, batched over lanes:
-            # dCC_t[:, c-slot] = g[c, t-rows] @ Md_w^T
-            dcc_rows = []
-            for ci in range(cb):
-                g_ct = g_ref[0, ci, 0, t * boh:(t + 1) * boh, :]
-                dcc_rows.append(jnp.dot(g_ct, mdwt_ref[...],
-                                        preferred_element_type=f32)
-                                .astype(cdt))
-            dcc_t = jnp.concatenate(dcc_rows, axis=1)     # [boh, lanes]
-            dl = jnp.dot(mdh_ref[...], dcc_t,
-                         preferred_element_type=f32)      # [mshl, lanes]
-            db = (dl * mask).astype(cdt)
-            da_t = jnp.dot(muh_ref[...], db,
-                           preferred_element_type=f32)    # [wxh, lanes]
-            da_ref[t * sh:t * sh + wxh, :] = (
-                da_ref[t * sh:t * sh + wxh, :] + da_t)
+            for (c0, c1, l0, l1) in lane_chunks:
+                a_t = a_ref[t * sh:t * sh + wxh, l0:l1]
+                b = jnp.dot(muht_ref[...], a_t,
+                            preferred_element_type=f32)   # [mshl, chunk]
+                mask = _act_mask(b)
+                # per-channel dcc rows for this tile's chunk:
+                # dCC_t[:, c-slot] = g[c, t-rows] @ Md_w^T
+                dcc_rows = []
+                for ci in range(c0, c1):
+                    g_ct = g_ref[0, ci, 0, t * boh:(t + 1) * boh, :]
+                    dcc_rows.append(jnp.dot(g_ct, mdwt_ref[...],
+                                            preferred_element_type=f32)
+                                    .astype(cdt))
+                dcc_t = jnp.concatenate(dcc_rows, axis=1)  # [boh, chunk]
+                dl = jnp.dot(mdh_ref[...], dcc_t,
+                             preferred_element_type=f32)   # [mshl, chunk]
+                db = (dl * mask).astype(cdt)
+                da_t = jnp.dot(muh_ref[...], db,
+                               preferred_element_type=f32)  # [wxh, chunk]
+                da_ref[t * sh:t * sh + wxh, l0:l1] = (
+                    da_ref[t * sh:t * sh + wxh, l0:l1] + da_t)
         for ci in range(cb):
             dx = jnp.dot(da_ref[:, ci * mswl:(ci + 1) * mswl].astype(cdt),
                          muwt_ref[...], preferred_element_type=f32)
@@ -345,7 +378,9 @@ def _pad_axis(x, axis, lo, hi):
 
 def filtered_lrelu_mxu(x, fu, fd, b, up, down, padding, gain, slope, clamp,
                        flip_filter, ms_target: int = 128,
-                       interpret: bool = False) -> Optional[jnp.ndarray]:
+                       interpret: bool = False,
+                       bo_align: Optional[int] = None
+                       ) -> Optional[jnp.ndarray]:
     """Fused banded-MXU filtered_lrelu; NCHW in/out. Returns None when the
     configuration is unsupported (caller falls back to the XLA composition).
     Differentiable: custom_vjp with a transposed-chain backward kernel."""
@@ -362,7 +397,8 @@ def filtered_lrelu_mxu(x, fu, fd, b, up, down, padding, gain, slope, clamp,
         in_h, in_w, c, tuple(fu.tolist()), tuple(fd.tolist()), int(up),
         int(down), tuple(int(p) for p in padding), float(gain), float(slope),
         None if clamp is None else float(clamp), bool(flip_filter),
-        x.dtype.name, int(ms_target), bool(interpret))
+        x.dtype.name, int(ms_target), bool(interpret),
+        None if bo_align is None else int(bo_align))
     if built is None:
         return None
     fwd_call, bwd_call, meta = built

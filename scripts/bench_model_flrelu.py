@@ -1,7 +1,7 @@
-"""In-model A/B: full-size CMSR G_ema forward with conv impl xla vs int8,
-same process (the only timing methodology the axon tunnel respects).
+"""In-model A/B of filtered_lrelu variants on the full-size generator,
+one process: xla-only vs auto (round-2 routing) vs auto+bo_align=128.
 
-Run: python scripts/bench_model_int8.py [batch] [variant]
+Run: python scripts/bench_model_flrelu.py [batch]
 """
 
 import os
@@ -35,9 +35,9 @@ def bench(fwd, args, iters=20, repeats=3):
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    variant = sys.argv[2] if len(sys.argv) > 2 else "dots"
     from afcm_tpu.nn import Stylegan3Generator
-    import afcm_tpu.ops.modulated_conv as mc
+    import importlib
+    fl = importlib.import_module('afcm_tpu.ops.filtered_lrelu')
 
     gen = Stylegan3Generator(
         z_dim=512, c_dim=1, w_dim=512, img_resolution=256,
@@ -53,23 +53,22 @@ def main():
     cond = jnp.asarray(rng.randn(batch, 4, 256, 256).clip(-1, 1), jnp.float32)
     variables = jax.jit(gen.init)(jax.random.PRNGKey(0), z, c, cond)
 
-    results = {}
+    configs = [("xla", "xla", None), ("auto", "auto", None),
+               ("auto_bo128", "auto", 128), ("auto2", "auto", None)]
     outs = {}
-    for impl in ("xla", "int8", "xla2"):
-        mc.set_conv_impl("int8" if impl == "int8" else "xla",
-                         variant=variant)
+    for name, impl, bo in configs:
+        fl.set_default_impl(impl)
+        fl.set_bo_align(bo)
         fwd = jax.jit(lambda v, z, c, x: gen.apply(v, z, c, x))
         rate, out = bench(fwd, (variables, z, c, cond))
-        results[impl] = rate
-        outs[impl] = np.asarray(out, np.float32)
-        print(f"{impl:5s}: {rate:6.2f} slices/s", flush=True)
-    mc.set_conv_impl("xla")
+        outs[name] = np.asarray(out, np.float32)
+        print(f"{name:11s}: {rate:6.2f} slices/s", flush=True)
+    fl.set_default_impl("auto")
+    fl.set_bo_align(None)
 
-    err = np.mean((outs["int8"] - outs["xla"]) ** 2)
+    err = np.mean((outs["auto_bo128"] - outs["xla"]) ** 2)
     dr = outs["xla"].max() - outs["xla"].min()
-    psnr = 10 * np.log10(dr * dr / max(err, 1e-12))
-    print(f"speedup {results['int8'] / max(results['xla'], results['xla2']):.3f}x"
-          f" | int8-vs-bf16 PSNR {psnr:.1f} dB (variant {variant})")
+    print(f"bo128-vs-xla PSNR {10*np.log10(dr*dr/max(err,1e-12)):.1f} dB")
 
 
 if __name__ == "__main__":

@@ -1,7 +1,7 @@
-"""In-model A/B: full-size CMSR G_ema forward with conv impl xla vs int8,
-same process (the only timing methodology the axon tunnel respects).
+"""In-model sweep of the round-3 perf knobs on the full-size generator,
+one process: conv impl (xla / int8 table) x filtered_lrelu bo_align.
 
-Run: python scripts/bench_model_int8.py [batch] [variant]
+Run: python scripts/bench_model_sweep.py [batch]
 """
 
 import os
@@ -35,8 +35,9 @@ def bench(fwd, args, iters=20, repeats=3):
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    variant = sys.argv[2] if len(sys.argv) > 2 else "dots"
     from afcm_tpu.nn import Stylegan3Generator
+    import importlib
+    fl = importlib.import_module('afcm_tpu.ops.filtered_lrelu')
     import afcm_tpu.ops.modulated_conv as mc
 
     gen = Stylegan3Generator(
@@ -53,23 +54,31 @@ def main():
     cond = jnp.asarray(rng.randn(batch, 4, 256, 256).clip(-1, 1), jnp.float32)
     variables = jax.jit(gen.init)(jax.random.PRNGKey(0), z, c, cond)
 
-    results = {}
+    configs = [
+        ("baseline      ", "xla", None),
+        ("int8-table    ", "int8", None),
+        ("bo128         ", "xla", 128),
+        ("int8+bo128    ", "int8", 128),
+        ("baseline-again", "xla", None),
+    ]
     outs = {}
-    for impl in ("xla", "int8", "xla2"):
-        mc.set_conv_impl("int8" if impl == "int8" else "xla",
-                         variant=variant)
+    for name, conv_impl, bo in configs:
+        mc.set_conv_impl(conv_impl)
+        fl.set_default_impl("auto")
+        fl.set_bo_align(bo)
         fwd = jax.jit(lambda v, z, c, x: gen.apply(v, z, c, x))
         rate, out = bench(fwd, (variables, z, c, cond))
-        results[impl] = rate
-        outs[impl] = np.asarray(out, np.float32)
-        print(f"{impl:5s}: {rate:6.2f} slices/s", flush=True)
+        outs[name] = (rate, np.asarray(out, np.float32))
+        print(f"{name}: {rate:6.2f} slices/s", flush=True)
     mc.set_conv_impl("xla")
+    fl.set_bo_align(None)
 
-    err = np.mean((outs["int8"] - outs["xla"]) ** 2)
-    dr = outs["xla"].max() - outs["xla"].min()
-    psnr = 10 * np.log10(dr * dr / max(err, 1e-12))
-    print(f"speedup {results['int8'] / max(results['xla'], results['xla2']):.3f}x"
-          f" | int8-vs-bf16 PSNR {psnr:.1f} dB (variant {variant})")
+    base = outs["baseline      "][1]
+    dr = base.max() - base.min()
+    for name in ("int8-table    ", "int8+bo128    "):
+        err = np.mean((outs[name][1] - base) ** 2)
+        print(f"{name.strip()} PSNR vs bf16: "
+              f"{10*np.log10(dr*dr/max(err,1e-12)):.1f} dB")
 
 
 if __name__ == "__main__":
