@@ -34,21 +34,34 @@ def rescale_intensity(volume, percentils=(0.5, 99.5), bins_num=256,
     return _ri(volume, percentils=percentils, bins_num=bins_num, norm=norm)
 
 
-def make_forward_fn(model, state, seed: int = 0):
+def make_forward_fn(model, state, seed: int = 0, mesh=None):
     """Jitted (A, slice_idx) -> fake_B closure over the EMA generator.
 
     Draws a fresh z key per batch (fold_in on a call counter), matching the
     reference protocol which samples new gen_z for every test batch
     (reference: models/comodgan_model.py:101-108). The seed is fixed so a
-    given evaluation run is still reproducible end to end."""
+    given evaluation run is still reproducible end to end.
+
+    With a multi-device ``mesh``, patch batches shard over the 'data' axis
+    (the caller shards/replicates the state) so the predictor serves from
+    the whole mesh — the TPU-native replacement for the reference's
+    DataParallel test-batch scaling (reference: data/utils.py:292-295)."""
     key = jax.random.PRNGKey(seed)
     counter = [0]
+    sharding = None
+    if mesh is not None and mesh.devices.size > 1:
+        from .parallel import batch_sharding
+        sharding = batch_sharding(mesh)
 
     def forward(a_batch, slice_idx):
         sub = jax.random.fold_in(key, counter[0])
         counter[0] += 1
-        return model.eval_step(state, jnp.asarray(a_batch),
-                               jnp.asarray(slice_idx), sub)
+        a = jnp.asarray(a_batch)
+        s = jnp.asarray(slice_idx)
+        if sharding is not None:
+            a = jax.device_put(a, sharding)
+            s = jax.device_put(s, sharding)
+        return model.eval_step(state, a, s, sub)
     return forward
 
 
@@ -97,10 +110,24 @@ def main(argv=None):
     state = model.init_state(rng, dummy)
     state = ckpt.load_state(state, run_dir, tag)
 
+    # Multi-device serving: batch-shard patches over the mesh's data axis;
+    # tensor-shard the big params over the model axis when configured.
+    from .parallel import make_mesh_for_batch, replicate_state, shard_params
+    mesh = make_mesh_for_batch(tuple(cfg.tpu.mesh_shape),
+                               cfg.loaders.batch_size)
+    if mesh.devices.size > 1:
+        if mesh.shape["model"] > 1 and hasattr(state, "params_G_ema"):
+            state = shard_params(state, mesh)
+        else:
+            state = replicate_state(state, mesh)
+    else:
+        mesh = None
+
     out_path = os.path.join(run_dir, "evaluate")
     os.makedirs(out_path, exist_ok=True)
     predictor_cls = get_predictor(cfg.predictor.name)
-    predictor = predictor_cls(make_forward_fn(model, state), out_path, cfg,
+    predictor = predictor_cls(make_forward_fn(model, state, mesh=mesh),
+                              out_path, cfg,
                               patch_halo=cfg.predictor.patch_halo)
 
     c_psnr, c_ssim, c_psnr_slice, c_ssim_slice = [], [], [], []

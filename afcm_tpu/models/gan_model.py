@@ -173,9 +173,18 @@ class GANModel:
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, state: GANTrainState, batch: Dict[str, jnp.ndarray],
                    rng, cur_nimg) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
-        cfg = self.config
         rng_z, rng_gd, rng_gg = jax.random.split(rng, 3)
-        z = jax.random.normal(rng_z, (batch["A"].shape[0], cfg.z_dim))
+        z = jax.random.normal(rng_z,
+                              (batch["A"].shape[0], self.config.z_dim))
+        return self._train_step_impl(state, batch, z, rng_gd, rng_gg,
+                                     cur_nimg)
+
+    def _train_step_impl(self, state: GANTrainState, batch, z, rng_gd,
+                         rng_gg, cur_nimg):
+        """Step body with an explicit latent (z) — split out so the parity
+        tests can pin z against the reference (which draws gen_z in
+        set_input, comodgan_model.py:94)."""
+        cfg = self.config
         c = self._cond(batch)
         real_a, real_b = batch["A"], batch["B"]
         sigma = losses.blur_sigma_schedule(cur_nimg, cfg.blur_init_sigma,

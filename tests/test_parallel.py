@@ -176,3 +176,65 @@ def test_tp_sharded_eval_step_matches(rng):
     out = np.asarray(model.eval_step(st, a, batch["slice_idx"],
                                      jax.random.PRNGKey(7)))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_predictor_matches_single_device(rng, tmp_path):
+    """The full predictor path (make_forward_fn + StandardPredictor) over a
+    dp x tp mesh must stitch the identical volume a single device produces —
+    the multi-chip serving analog of the reference's DataParallel test-batch
+    scaling (reference: data/utils.py:292-295)."""
+    from afcm_tpu.evaluate import make_forward_fn
+    from afcm_tpu.infer.predictor import StandardPredictor
+    from afcm_tpu.utils.nifti import read_nifti
+
+    model = _tiny_gan_model()
+    batch = {"A": jnp.asarray(rng.randn(4, 4, 32, 32), jnp.float32),
+             "B": jnp.asarray(rng.randn(4, 1, 32, 32), jnp.float32),
+             "slice_idx": jnp.asarray(rng.rand(4, 1), jnp.float32)}
+    state = model.init_state(jax.random.PRNGKey(0), batch)
+
+    vol_np = rng.randn(10, 32, 32).astype(np.float32)
+
+    class _StubDataset:
+        """10 full-frame slices of a 10x32x32 volume."""
+        file_path = str(tmp_path / "subject.h5")
+        raw = {"t1": vol_np}
+        volume = vol_np
+        slices = [(slice(0, 1), slice(z, z + 1), slice(0, 32), slice(0, 32))
+                  for z in range(10)]
+
+        def __len__(self):
+            return 10
+
+        def get_item(self, i):
+            a = np.repeat(self.volume[i][None], 4, axis=0)
+            idx = (slice(i, i + 1), slice(0, 32), slice(0, 32))
+            return (a.astype(np.float32),
+                    np.asarray([i % 4 / 4.0], np.float32), idx)
+
+    class _Loader:
+        dataset = _StubDataset()
+        batch_size = 4
+
+        def __iter__(self):
+            ds = self.dataset
+            for start in range(0, len(ds), self.batch_size):
+                items = [ds.get_item(i) for i in
+                         range(start, min(start + self.batch_size, len(ds)))]
+                yield (np.stack([x[0] for x in items]),
+                       np.stack([x[1] for x in items]),
+                       [x[2] for x in items])
+
+    def run(state, mesh, out_dir):
+        fwd = make_forward_fn(model, state, mesh=mesh)
+        pred = StandardPredictor(fwd, str(out_dir), None, patch_halo=(0, 0, 0))
+        path = pred(_Loader())
+        vol, _ = read_nifti(path)
+        return np.asarray(vol)
+
+    ref = run(state, None, tmp_path / "single")
+
+    mesh = make_mesh((2, 2))
+    sharded = shard_params(jax.tree.map(jnp.copy, state), mesh)
+    got = run(sharded, mesh, tmp_path / "mesh")
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)

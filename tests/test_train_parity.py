@@ -243,3 +243,65 @@ def test_train_gradients_match_reference(ref_model, rng):
     _compare_trees(g_grads,
                    _grads_to_tree(torch, model_t.netG, g_grads_t),
                    rel_tol=3e-2, label="G")
+
+
+def test_adam_semantics_match_torch(rng):
+    """Pin the optimizer exactly: identical synthetic grads through
+    torch.optim.Adam(betas=(0, 0.99), eps=1e-8) (the reference's GAN
+    optimizers, comodgan_model.py:19-22) and our make_optimizer must give
+    identical parameter trajectories. Combined with the gradient-parity
+    test above, this transitively covers the full optimize_parameters
+    step without Adam's first-step sign(g) noise amplification."""
+    torch = pytest.importorskip("torch")
+    import optax
+    from afcm_tpu.models.train_state import make_optimizer
+
+    lr, b1, b2, eps = 2.5e-3, 0.0, 0.99, 1e-8
+    p0 = rng.randn(7, 5).astype(np.float32)
+    grads = [rng.randn(7, 5).astype(np.float32) * 10 ** rng.uniform(-3, 1)
+             for _ in range(4)]
+
+    pt = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    opt = torch.optim.Adam([pt], lr=lr, betas=(b1, b2), eps=eps)
+    for g in grads:
+        opt.zero_grad()
+        pt.grad = torch.from_numpy(g.copy())
+        opt.step()
+
+    tx = make_optimizer(lr, b1, b2, eps)
+    params = {"w": jnp.asarray(p0)}
+    opt_state = tx.init(params)
+    for g in grads:
+        updates, opt_state = tx.update({"w": jnp.asarray(g)}, opt_state,
+                                       params)
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               pt.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_ema_semantics_match_reference(rng):
+    """EMA lerp + beta schedule vs the reference train loop
+    (reference: train.py:67-77): beta = 0.5 ** (batch / min(ema_kimgs*1e3,
+    total_iters*ramp)); p_ema = lerp(p, p_ema, beta)."""
+    from afcm_tpu.models.train_state import ema_beta, ema_update
+
+    batch, ema_kimgs, ramp = 16, 10.0, 0.05
+    for total_iters in (16, 1600, 100000, 1000000):
+        ema_nimg = ema_kimgs * 1000
+        ema_nimg_ref = min(ema_nimg, total_iters * ramp)
+        beta_ref = 0.5 ** (batch / max(ema_nimg_ref, 1e-8))
+        beta = float(ema_beta(batch, ema_kimgs, ramp,
+                              jnp.asarray(float(total_iters))))
+        np.testing.assert_allclose(beta, beta_ref, rtol=1e-6)
+    # no ramp
+    beta = float(ema_beta(batch, ema_kimgs, None, jnp.asarray(123456.0)))
+    np.testing.assert_allclose(beta, 0.5 ** (batch / (ema_kimgs * 1000)),
+                               rtol=1e-6)
+
+    p = rng.randn(4, 3).astype(np.float32)
+    p_ema = rng.randn(4, 3).astype(np.float32)
+    got = np.asarray(ema_update({"w": jnp.asarray(p_ema)},
+                                {"w": jnp.asarray(p)}, 0.7)["w"])
+    want = p + (p_ema - p) * 0.7          # torch lerp(p, p_ema, beta)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
