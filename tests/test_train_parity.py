@@ -161,15 +161,15 @@ def test_train_gradients_match_reference(ref_model, rng):
     model_t.forward(update_emas=True)            # D-phase G forward (train)
     model_t.backward_D()
     d_grads_t = _torch_grads(torch, model_t.netD)
-    d_losses_t = (float(model_t.loss_D_fake), float(model_t.loss_D_real),
-                  float(model_t.loss_Dr1))
+    d_losses_t = (model_t.loss_D_fake.item(), model_t.loss_D_real.item(),
+                  model_t.loss_Dr1.item())
     model_t.netD.requires_grad_(False)
 
     model_t.netG.requires_grad_(True)
     model_t.forward(update_emas=False)           # G-phase forward (fresh ema)
     model_t.backward_G()
     g_grads_t = _torch_grads(torch, model_t.netG)
-    g_losses_t = (float(model_t.loss_G_GAN), float(model_t.loss_G_L1))
+    g_losses_t = (model_t.loss_G_GAN.item(), model_t.loss_G_L1.item())
     model_t.netG.requires_grad_(False)
 
     # ---- our side: same weights, same batch, same z, same phase flow ----
@@ -305,3 +305,141 @@ def test_ema_semantics_match_reference(rng):
                                 {"w": jnp.asarray(p)}, 0.7)["w"])
     want = p + (p_ema - p) * 0.7          # torch lerp(p, p_ema, beta)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+# -- CoModGAN family: same parity through the reference CoModGANModel ------
+
+COMOD_GEN = dict(z_dim=32, c_dim=1, w_dim=32, img_resolution=64,
+                 img_channels_in=4, img_channels_out=1)
+COMOD_SYNTH = dict(channel_base=2048, channel_max=64, skip_resolution=32,
+                   cond_mod=True, conv_clamp=None, channel_attention=False,
+                   dropout_rate=0.0)
+
+
+@pytest.fixture(scope="module")
+def ref_comod_model(ref_model, tmp_path_factory):
+    """Reference CoModGANModel with the same CPU shims (reuses the
+    StyleGAN3 fixture's import side effects)."""
+    torch = ref_model["torch"]
+    import models.utils as mu
+    from models.comodgan_model import CoModGANModel
+
+    def cpu_init_net(net, init_type=None, init_gain=0.02, gpu_ids=()):
+        net.train().requires_grad_(False)
+        return torch.nn.DataParallel(net)
+
+    opt = _ref_opt(tmp_path_factory.mktemp("ck2"))
+    opt.model.G = ED(netG="comodgan",
+                     mapping_kwargs=ED(name="MappingNetwork", num_layers=2),
+                     synthesis_kwargs=ED(name="SynthesisNetwork",
+                                         **COMOD_SYNTH),
+                     **COMOD_GEN)
+    orig_init, orig_adam = mu.init_net, torch.optim.Adam
+
+    def adam_shim(params, lr=1e-3, betas=(0.9, 0.999), **kw):
+        return orig_adam(params, lr=lr,
+                         betas=tuple(float(b) for b in betas), **kw)
+
+    mu.init_net, torch.optim.Adam = cpu_init_net, adam_shim
+    try:
+        torch.manual_seed(1)
+        model = CoModGANModel(opt)
+    finally:
+        mu.init_net, torch.optim.Adam = orig_init, orig_adam
+    return dict(torch=torch, model=model)
+
+
+def test_comod_train_gradients_match_reference(ref_comod_model, rng):
+    torch = ref_comod_model["torch"]
+    model_t = ref_comod_model["model"]
+
+    batch = 2
+    a_np = rng.randn(batch, 4, 64, 64).clip(-1, 1).astype(np.float32)
+    b_np = rng.randn(batch, 1, 64, 64).clip(-1, 1).astype(np.float32)
+    slice_np = rng.rand(batch, 1).astype(np.float32)
+
+    model_t.set_input({
+        "A": torch.from_numpy(a_np), "B": torch.from_numpy(b_np),
+        "slice_idx": torch.from_numpy(slice_np)})
+    model_t.gen_z = torch.zeros(batch, COMOD_GEN["z_dim"])
+
+    # const noise on both sides so the SG2 noise injection is deterministic
+    model_t.netD.requires_grad_(True)
+    model_t.fake_B = model_t.run_G(model_t.real_A, noise_mode="const")
+    model_t.backward_D()
+    d_grads_t = _torch_grads(torch, model_t.netD)
+    d_losses_t = (model_t.loss_D_fake.item(), model_t.loss_D_real.item(),
+                  model_t.loss_Dr1.item())
+    model_t.netD.requires_grad_(False)
+
+    model_t.netG.requires_grad_(True)
+    model_t.fake_B = model_t.run_G(model_t.real_A, noise_mode="const")
+    model_t.backward_G()
+    g_grads_t = _torch_grads(torch, model_t.netG)
+    g_losses_t = (model_t.loss_G_GAN.item(), model_t.loss_G_L1.item())
+    model_t.netG.requires_grad_(False)
+
+    # ---- our side ----
+    gen = build_generator(dict(netG="comodgan",
+                               mapping_kwargs=dict(num_layers=2),
+                               synthesis_kwargs=dict(COMOD_SYNTH),
+                               **COMOD_GEN))
+    disc = build_discriminator(dict(netD="comodgan",
+                                    mapping_kwargs=dict(num_layers=2),
+                                    **DISC))
+    model = GANModel(gen, disc, GANConfig(
+        z_dim=COMOD_GEN["z_dim"], c_dim=1, batch_size=batch,
+        lambda_l1=LAMBDA_L1, lambda_r1=LAMBDA_R1))
+
+    g_vars = state_dict_to_variables(model_t.netG.module.state_dict())
+    d_vars = state_dict_to_variables(model_t.netD.module.state_dict())
+    a, b = jnp.asarray(a_np), jnp.asarray(b_np)
+    z = jnp.zeros((batch, COMOD_GEN["z_dim"]), jnp.float32)
+    c = jnp.asarray(slice_np)
+
+    def run_g(params_g):
+        variables = {"params": params_g,
+                     "moments": g_vars.get("moments", {}),
+                     "constants": g_vars.get("constants", {})}
+        out, _ = gen.apply(variables, z, c, a, noise_mode="const",
+                           train=True,
+                           rngs={"noise": jax.random.PRNGKey(0),
+                                 "dropout": jax.random.PRNGKey(0)},
+                           mutable=["moments"])
+        return out
+
+    fake_b = jax.lax.stop_gradient(run_g(g_vars["params"]))
+
+    def d_loss_fn(params_d):
+        fake_logits = model._run_d(params_d, model._d_input(a, fake_b), c, 0.0)
+        real_logits = model._run_d(params_d, model._d_input(a, b), c, 0.0)
+        lf, lr = jlosses.softplus_d_loss(fake_logits, real_logits)
+        r1 = jlosses.r1_penalty(
+            lambda img: model._run_d(params_d, img, c, 0.0),
+            model._d_input(a, b))
+        return lf + lr + r1 * LAMBDA_R1, (lf, lr, r1)
+
+    (_, (lf, lr, r1)), d_grads = jax.value_and_grad(
+        d_loss_fn, has_aux=True)(d_vars["params"])
+    np.testing.assert_allclose(float(lf), d_losses_t[0], rtol=2e-2, atol=1e-4)
+    np.testing.assert_allclose(float(lr), d_losses_t[1], rtol=2e-2, atol=1e-4)
+    np.testing.assert_allclose(float(r1), d_losses_t[2], rtol=5e-2, atol=1e-5)
+
+    def g_loss_fn(params_g):
+        fake = run_g(params_g)
+        gen_logits = model._run_d(d_vars["params"],
+                                  model._d_input(a, fake), c, 0.0)
+        loss_gan = jlosses.softplus_g_loss(gen_logits)
+        loss_l1 = jlosses.l1_loss(fake, b) * LAMBDA_L1
+        return loss_gan + loss_l1, (loss_gan, loss_l1)
+
+    (_, (lg, ll1)), g_grads = jax.value_and_grad(
+        g_loss_fn, has_aux=True)(g_vars["params"])
+    np.testing.assert_allclose(float(lg), g_losses_t[0], rtol=2e-2, atol=1e-4)
+    np.testing.assert_allclose(float(ll1), g_losses_t[1], rtol=2e-2,
+                               atol=1e-3)
+
+    _compare_trees(d_grads, _grads_to_tree(torch, model_t.netD, d_grads_t),
+                   rel_tol=3e-2, label="D")
+    _compare_trees(g_grads, _grads_to_tree(torch, model_t.netG, g_grads_t),
+                   rel_tol=3e-2, label="G")
