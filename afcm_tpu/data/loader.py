@@ -115,11 +115,16 @@ class TestLoader:
             yield a, slice_idx, indices
 
 
-def create_dataset(loaders_config, phase: str):
+def create_dataset(loaders_config, phase: str, direction: str = "AtoB",
+                   input_nc: int = 1, output_nc: int = 1):
     """Dataset factory by ``loaders.dataset_mode``
     (reference: data/__init__.py:18-58 find_dataset_using_name — the closed
     set here covers every dataset the reference ships: the h5/NII volume
-    pipelines plus the legacy pix2pix image-folder datasets)."""
+    pipelines plus the legacy pix2pix image-folder datasets).
+
+    ``direction``/``input_nc``/``output_nc`` only matter for the aligned/
+    single image-folder modes (the reference reads them from the top-level
+    opt, aligned_dataset.py); volume datasets ignore them."""
     mode = loaders_config.get("dataset_mode", "cmsr")
     if mode == "cmsr":
         return CmsrDataset(loaders_config, phase=phase,
@@ -146,14 +151,17 @@ def create_dataset(loaders_config, phase: str):
                 os.path.join(common["dataroot"], "test")) else "train"
             phase = folder
         if mode == "aligned":
-            return AlignedDataset(phase=phase, **common)
+            return AlignedDataset(phase=phase, direction=direction,
+                                  input_nc=input_nc, output_nc=output_nc,
+                                  **common)
         if mode == "unaligned":
             return UnalignedDataset(
                 phase=phase,
                 serial_batches=loaders_config.get("serial_batches", False),
                 **common)
         common.pop("dataroot")
-        return SingleDataset(dataroot=loaders_config["dataroot"], **common)
+        return SingleDataset(dataroot=loaders_config["dataroot"],
+                             input_nc=input_nc, **common)
     if mode == "template":
         from .template_dataset import TemplateDataset
         return TemplateDataset(loaders_config, phase=phase)
@@ -162,10 +170,17 @@ def create_dataset(loaders_config, phase: str):
 
 def get_train_loaders(cfg, seed: int = 0) -> Dict[str, TrainLoader]:
     loaders_config = cfg.loaders
-    train = TrainLoader(create_dataset(loaders_config, "train"),
+    # image-folder modes read direction / channel counts from the top-level
+    # config like the reference (aligned_dataset.py, base_options)
+    kw = dict(direction=getattr(cfg, "direction", "AtoB"))
+    g_cfg = getattr(getattr(cfg, "model", None), "G", None)
+    if g_cfg is not None:
+        kw["input_nc"] = getattr(g_cfg, "input_nc", 1)
+        kw["output_nc"] = getattr(g_cfg, "output_nc", 1)
+    train = TrainLoader(create_dataset(loaders_config, "train", **kw),
                         batch_size=loaders_config.batch_size,
                         shuffle=not loaders_config.serial_batches, seed=seed)
-    val = TrainLoader(create_dataset(loaders_config, "val"),
+    val = TrainLoader(create_dataset(loaders_config, "val", **kw),
                       batch_size=loaders_config.batch_size, shuffle=False,
                       seed=seed, drop_last=False)
     return {"train": train, "val": val}
