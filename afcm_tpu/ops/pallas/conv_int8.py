@@ -105,7 +105,7 @@ def plan_wp(i_pad: int, o: int, h: int, w_needed: int, variant: str):
     Smaller wp means fewer junk columns (at 36^2 the old 32-mult rule burnt
     40% of compute), but a finer wp coarsens r_align (rows must make
     rows*wp 128-divisible), which can overshoot VMEM for wide-O layers —
-    so try wp from tightest to coarsest and take the first feasible plan.
+    so score every feasible wp granularity by total computed cells.
     """
     best = None
     tried = set()
@@ -126,7 +126,7 @@ def plan_wp(i_pad: int, o: int, h: int, w_needed: int, variant: str):
     return None if best is None else best[1:]
 
 
-def _make_kernel(i_pad, o, wp, win_len, out_cols, variant):
+def _make_kernel(i_pad, o, wp, out_cols, variant):
     def kernel(x_ref, w_ref, s_ref, o_ref, acc, *im2col):
         xwin = x_ref[0, 0]
         if variant == "im2col":
@@ -137,7 +137,7 @@ def _make_kernel(i_pad, o, wp, win_len, out_cols, variant):
                 stage[tap * i_pad:(tap + 1) * i_pad, :] = \
                     xwin[:, off:off + out_cols]
             acc[:] = jax.lax.dot_general(
-                w_ref[:], stage[:], (((1,), (0,)), ((), ())),
+                w_ref[0], stage[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
         else:
             for tap in range(9):
@@ -173,7 +173,7 @@ def _conv_int8_call(x_flat, w9, scale, i_pad, o, wp, rows, variant,
         jax.lax.slice_in_dim(x_flat, r * out_cols, r * out_cols + win_len,
                              axis=2)
         for r in range(rb)], axis=1)            # [N, RB, I', win]
-    kernel = _make_kernel(i_pad, o, wp, win_len, out_cols, variant)
+    kernel = _make_kernel(i_pad, o, wp, out_cols, variant)
     scratch = [pltpu.VMEM((o, out_cols), jnp.int32)]
     if variant == "im2col":
         # [9, O, I'] -> [O, 9*I'] with (tap, i) ordering matching the
@@ -187,14 +187,8 @@ def _conv_int8_call(x_flat, w9, scale, i_pad, o, wp, rows, variant,
         w_spec = pl.BlockSpec((9, o, i_pad), lambda n_, r_: (0, 0, 0),
                               memory_space=pltpu.VMEM)
 
-    def kern(x_ref, w_ref, s_ref, o_ref, acc, *rest):
-        if variant == "im2col":
-            kernel(x_ref, w_ref[0], s_ref, o_ref, acc, *rest)
-        else:
-            kernel(x_ref, w_ref, s_ref, o_ref, acc, *rest)
-
     return pl.pallas_call(
-        kern,
+        kernel,
         out_shape=jax.ShapeDtypeStruct((n, o, rb * out_cols), jnp.bfloat16),
         grid=(n, rb),
         in_specs=[
