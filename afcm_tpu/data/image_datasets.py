@@ -42,7 +42,12 @@ def _load_image(path: str, grayscale: bool):
     return img.convert("L" if grayscale else "RGB")
 
 
-def get_params(preprocess: str, load_size: int, crop_size: int, size):
+def get_params(preprocess: str, load_size: int, crop_size: int, size,
+               rng=None):
+    """rng: optional random.Random; TrainLoader passes its seeded instance
+    so epochs are reproducible (and prefetch threads do not race the
+    process-global random state)."""
+    r = rng if rng is not None else random
     w, h = size
     new_w, new_h = w, h
     if preprocess == "resize_and_crop":
@@ -50,16 +55,16 @@ def get_params(preprocess: str, load_size: int, crop_size: int, size):
     elif preprocess == "scale_width_and_crop":
         new_w = load_size
         new_h = load_size * h // w
-    x = random.randint(0, max(0, new_w - crop_size))
-    y = random.randint(0, max(0, new_h - crop_size))
-    flip = random.random() > 0.5
+    x = r.randint(0, max(0, new_w - crop_size))
+    y = r.randint(0, max(0, new_h - crop_size))
+    flip = r.random() > 0.5
     return {"crop_pos": (x, y), "flip": flip}
 
 
 def apply_transform(img, preprocess: str = "resize_and_crop",
                     load_size: int = 286, crop_size: int = 256,
                     params: Optional[Dict] = None, flip: bool = True,
-                    convert: bool = True) -> np.ndarray:
+                    convert: bool = True, rng=None) -> np.ndarray:
     """PIL image -> [C, H, W] float32 in [-1, 1]
     (reference: base_dataset.py get_transform)."""
     from PIL import Image
@@ -70,16 +75,17 @@ def apply_transform(img, preprocess: str = "resize_and_crop",
         if w != load_size:
             img = img.resize((load_size, max(load_size * h // w, crop_size)),
                              Image.BICUBIC)
+    r = rng if rng is not None else random
     if "crop" in preprocess:
         if params is None:
             w, h = img.size
-            x = random.randint(0, max(0, w - crop_size))
-            y = random.randint(0, max(0, h - crop_size))
+            x = r.randint(0, max(0, w - crop_size))
+            y = r.randint(0, max(0, h - crop_size))
         else:
             x, y = params["crop_pos"]
         img = img.crop((x, y, x + crop_size, y + crop_size))
     if flip:
-        do_flip = params["flip"] if params is not None else random.random() > 0.5
+        do_flip = params["flip"] if params is not None else r.random() > 0.5
         if do_flip:
             img = img.transpose(0)  # PIL.Image.FLIP_LEFT_RIGHT == 0
     arr = np.asarray(img, dtype=np.float32) / 255.0
@@ -123,7 +129,7 @@ class AlignedDataset:
         if self.output_nc == 1:
             b = b.convert("L")
         params = get_params(self.preprocess, self.load_size, self.crop_size,
-                            a.size)
+                            a.size, rng=rng)
         a_t = apply_transform(a, self.preprocess, self.load_size,
                               self.crop_size, params)
         b_t = apply_transform(b, self.preprocess, self.load_size,
@@ -134,16 +140,22 @@ class AlignedDataset:
 
 
 class UnalignedDataset:
-    """Two independent folders trainA / trainB (reference: unaligned_dataset.py)."""
+    """Two independent folders trainA / trainB (reference:
+    unaligned_dataset.py). BtoA swaps the domain folders and channel
+    counts exactly like the reference (unaligned_dataset.py:33-37)."""
 
     def __init__(self, dataroot: str, phase: str = "train",
                  preprocess: str = "resize_and_crop", load_size: int = 286,
                  crop_size: int = 256, serial_batches: bool = False,
-                 max_dataset_size=float("inf")):
-        self.dir_a = os.path.join(dataroot, phase + "A")
-        self.dir_b = os.path.join(dataroot, phase + "B")
+                 direction: str = "AtoB", input_nc: int = 1,
+                 output_nc: int = 1, max_dataset_size=float("inf")):
+        btoa = direction == "BtoA"
+        self.dir_a = os.path.join(dataroot, phase + ("B" if btoa else "A"))
+        self.dir_b = os.path.join(dataroot, phase + ("A" if btoa else "B"))
         self.a_paths = make_dataset(self.dir_a, max_dataset_size)
         self.b_paths = make_dataset(self.dir_b, max_dataset_size)
+        self.input_nc = output_nc if btoa else input_nc
+        self.output_nc = input_nc if btoa else output_nc
         self.serial_batches = serial_batches
         self.preprocess = preprocess
         self.load_size = load_size
@@ -153,15 +165,18 @@ class UnalignedDataset:
         return max(len(self.a_paths), len(self.b_paths))
 
     def get_item(self, index: int, rng=None) -> Dict[str, np.ndarray]:
+        r = rng if rng is not None else random
         a_path = self.a_paths[index % len(self.a_paths)]
         if self.serial_batches:
             b_path = self.b_paths[index % len(self.b_paths)]
         else:
-            b_path = self.b_paths[random.randint(0, len(self.b_paths) - 1)]
-        a = apply_transform(_load_image(a_path, False), self.preprocess,
-                            self.load_size, self.crop_size)
-        b = apply_transform(_load_image(b_path, False), self.preprocess,
-                            self.load_size, self.crop_size)
+            b_path = self.b_paths[r.randint(0, len(self.b_paths) - 1)]
+        a = apply_transform(_load_image(a_path, self.input_nc == 1),
+                            self.preprocess, self.load_size, self.crop_size,
+                            rng=rng)
+        b = apply_transform(_load_image(b_path, self.output_nc == 1),
+                            self.preprocess, self.load_size, self.crop_size,
+                            rng=rng)
         return {"A": a, "B": b, "A_paths": a_path, "B_paths": b_path}
 
 
@@ -184,4 +199,5 @@ class SingleDataset:
         path = self.a_paths[index]
         img = _load_image(path, grayscale=self.input_nc == 1)
         return {"A": apply_transform(img, self.preprocess, self.load_size,
-                                     self.crop_size), "A_paths": path}
+                                     self.crop_size, rng=rng),
+                "A_paths": path}

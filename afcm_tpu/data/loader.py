@@ -145,11 +145,13 @@ def create_dataset(loaders_config, phase: str, direction: str = "AtoB",
                       max_dataset_size=max_size)
         # the aligned/unaligned folder layout has no val split; reference
         # pix2pix validates on the test folder when present, else on train
+        # (unaligned layouts use testA/testB suffixed directories)
         if phase == "val":
             import os
-            folder = "test" if os.path.isdir(
-                os.path.join(common["dataroot"], "test")) else "train"
-            phase = folder
+            has_test = os.path.isdir(
+                os.path.join(common["dataroot"], "test")) or os.path.isdir(
+                os.path.join(common["dataroot"], "testA"))
+            phase = "test" if has_test else "train"
         if mode == "aligned":
             return AlignedDataset(phase=phase, direction=direction,
                                   input_nc=input_nc, output_nc=output_nc,
@@ -158,6 +160,7 @@ def create_dataset(loaders_config, phase: str, direction: str = "AtoB",
             return UnalignedDataset(
                 phase=phase,
                 serial_batches=loaders_config.get("serial_batches", False),
+                direction=direction, input_nc=input_nc, output_nc=output_nc,
                 **common)
         common.pop("dataroot")
         return SingleDataset(dataroot=loaders_config["dataroot"],

@@ -41,7 +41,16 @@ class TemplateDataset:
 
     def __init__(self, loaders_config, phase: str = "train"):
         # 1. Save the options you need from the ``loaders`` config subtree.
-        self.crop_size = int(loaders_config.get("crop_size", 256) or 256)
+        #    Shapes follow the experiment config so the synthetic samples
+        #    plug straight into whichever model the config selects: patch
+        #    H/W from the slice builder (falling back to crop_size), input
+        #    channels from the CMSR window size (slice_num).
+        sb = loaders_config.get(phase if phase in ("train", "test") else
+                                "train", {}) or {}
+        patch = (sb.get("slice_builder", {}) or {}).get("patch_shape")
+        self.crop_size = int(patch[-1]) if patch else \
+            int(loaders_config.get("crop_size", 256) or 256)
+        self.in_channels = int(loaders_config.get("slice_num", 1) or 1)
         self.phase = phase
         # 2. Gather your sample index (file paths, h5 keys, ...).
         self.num_samples = 16 if phase == "train" else 4
@@ -54,6 +63,7 @@ class TemplateDataset:
         #    train-time stochastic augmentation so epochs are reproducible.
         h = w = self.crop_size
         yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-        a = np.sin(2 * np.pi * (index + 1) * xx / w)[None]
+        a = np.stack([np.sin(2 * np.pi * (index + c + 1) * xx / w)
+                      for c in range(self.in_channels)])
         b = np.sin(2 * np.pi * (index + 1) * yy / h)[None]
         return {"A": a.astype(np.float32), "B": b.astype(np.float32)}

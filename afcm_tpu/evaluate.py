@@ -86,6 +86,15 @@ def find_target_volume(cfg, subject: str) -> Optional[np.ndarray]:
 def main(argv=None):
     cfg = default_argument_parser(argv)
     print(cfg.dump())
+    if getattr(cfg.model, "name", "stylegan3") == "pix2pix":
+        # Matches the reference's scope: its evaluate.py drives only the
+        # volumetric h5/NIfTI predictor flow (reference: evaluate.py,
+        # data/utils.py:265-308); the pix2pix image-folder baseline has no
+        # volume semantics to stitch or score.
+        raise NotImplementedError(
+            "evaluate.py is the volumetric predictor flow; the pix2pix "
+            "image-folder baseline is trained/validated via afcm_tpu.train "
+            "(PSNR/SSIM on the val split), matching the reference's scope.")
     from .ops.filtered_lrelu import set_default_impl
     set_default_impl(getattr(cfg.tpu, "filtered_lrelu_impl", "auto"))
     if getattr(cfg.tpu, "conv_int8", False):

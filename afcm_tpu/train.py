@@ -92,6 +92,12 @@ def train(cfg, max_iters: Optional[int] = None) -> Dict[str, float]:
     sample_batch = next(iter(loaders["train"]))
     sample_batch = {k: jnp.asarray(v) for k, v in sample_batch.items()
                     if k in ("A", "B", "slice_idx")}
+    if "slice_idx" not in sample_batch:
+        # slice-conditioned models (c_dim > 0) read batch["slice_idx"];
+        # image-folder/template datasets carry no fractional position, so
+        # feed zeros (= integer slice, matching _slice_idx_of)
+        sample_batch["slice_idx"] = jnp.asarray(
+            _slice_idx_of({k: np.asarray(v) for k, v in sample_batch.items()}))
     state = model.init_state(init_rng, sample_batch)
 
     run_dir = f"{cfg.checkpoints_dir}/{cfg.name}"
@@ -144,6 +150,8 @@ def train(cfg, max_iters: Optional[int] = None) -> Dict[str, float]:
 
             device_batch = {k: v for k, v in batch.items()
                             if k in ("A", "B", "slice_idx")}
+            if "slice_idx" not in device_batch:
+                device_batch["slice_idx"] = _slice_idx_of(batch)
             if multi_device:
                 device_batch = shard_batch(device_batch, mesh)
             else:

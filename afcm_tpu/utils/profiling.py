@@ -74,3 +74,41 @@ class StepTimer:
         dt = time.time() - self._t0
         self._t0 = None
         return dt
+
+
+def host_sync(x) -> None:
+    """Reliable device-sync for timing: fetch a scalar reduction to host.
+
+    On the axon remote backend `jax.block_until_ready` returns early; a
+    host fetch is the only dependable sync point (see CLAUDE.md). Works on
+    arrays and pytrees.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    leaf = jax.tree.leaves(x)[0]
+    np.asarray(jax.device_get(jnp.sum(jnp.asarray(leaf, jnp.float32))))
+
+
+def bench_rates(fn, args, iters: int = 20, repeats: int = 3):
+    """Median items/sec over `repeats` timing windows of `iters` calls.
+
+    The canonical A/B methodology for this repo (docs/performance.md):
+    host-fetch-synced, one process, median-of-N windows — isolated per-op
+    timings on the tunneled chip swing up to 2.4x and must not be trusted.
+    Returns (median_rate, last_output); rate divides by args[1].shape[0]
+    treated as the batch dimension when present, else counts calls/sec.
+    """
+    import numpy as np
+
+    out = fn(*args)
+    host_sync(out)
+    batch = getattr(args[1], "shape", [1])[0] if len(args) > 1 else 1
+    rates = []
+    for _ in range(repeats):
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn(*args)
+        host_sync(out)
+        rates.append(batch / ((time.time() - t0) / iters))
+    return float(np.median(rates)), out

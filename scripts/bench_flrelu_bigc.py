@@ -28,8 +28,7 @@ LAYERS = [  # (name, C, size, up, down)
 ]
 
 
-def sync(x):
-    np.asarray(jax.device_get(jnp.sum(jnp.asarray(x, jnp.float32))))
+from afcm_tpu.utils.profiling import host_sync as sync  # noqa: E402
 
 
 def timeit(fn, *args, iters=30):

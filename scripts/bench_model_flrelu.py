@@ -16,21 +16,10 @@ import jax
 import jax.numpy as jnp
 
 
-def sync(x):
-    np.asarray(jax.device_get(jnp.sum(jnp.asarray(x, jnp.float32))))
+from afcm_tpu.utils.profiling import host_sync as sync  # noqa: E402
 
 
-def bench(fwd, args, iters=20, repeats=3):
-    out = fwd(*args)
-    sync(out)
-    rates = []
-    for _ in range(repeats):
-        t0 = time.time()
-        for _ in range(iters):
-            out = fwd(*args)
-        sync(out)
-        rates.append(args[1].shape[0] / ((time.time() - t0) / iters))
-    return float(np.median(rates)), out
+from afcm_tpu.utils.profiling import bench_rates as bench  # noqa: E402
 
 
 def main():

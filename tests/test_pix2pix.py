@@ -164,8 +164,23 @@ def test_legacy_dataset_registry(tmp_path):
         Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(
             str(tmp_path / "un" / sub / "0.png"))
     ds = create_dataset({"dataset_mode": "unaligned",
-                         "dataroot": str(tmp_path / "un"), **base}, "train")
+                         "dataroot": str(tmp_path / "un"), **base}, "train",
+                        input_nc=3, output_nc=3)
     assert len(ds) == 1 and ds.get_item(0)["A"].shape == (3, 64, 64)
+    # grayscale channel counts honored (reference unaligned_dataset.py:34-37)
+    ds1 = create_dataset({"dataset_mode": "unaligned",
+                          "dataroot": str(tmp_path / "un"), **base}, "train")
+    assert ds1.get_item(0)["A"].shape == (1, 64, 64)
+    # BtoA swaps the domain folders
+    ds_b = create_dataset({"dataset_mode": "unaligned",
+                           "dataroot": str(tmp_path / "un"), **base}, "train",
+                          direction="BtoA", input_nc=3, output_nc=3)
+    assert ds_b.dir_a.endswith("trainB") and ds_b.dir_b.endswith("trainA")
+    # reproducible epochs: seeded rng -> identical crops/flips
+    import random as _random
+    s1 = ds.get_item(0, rng=_random.Random(7))["A"]
+    s2 = ds.get_item(0, rng=_random.Random(7))["A"]
+    np.testing.assert_array_equal(s1, s2)
 
     ds = create_dataset({"dataset_mode": "single",
                          "dataroot": str(tmp_path / "un" / "trainA"),
