@@ -101,6 +101,11 @@ def get_default_cfg() -> CfgNode:
     c.loss.gan_mode = "vanilla"
     c.loss.lambda_L1 = 100.0
     c.loss.lambda_r1 = 10.0
+    # Lazy R1 interval (TPU extension; 1 = reference-faithful every-step R1).
+    # N > 1 runs the R1 double-grad every Nth step scaled by N — the
+    # integrated strength is preserved but the schedule deviates from the
+    # reference, so it is opt-in.
+    c.loss.r1_interval = 1
     c.loss.blur_init_sigma = 0.0
     c.loss.blur_fade_kimg = 0.0
 

@@ -116,6 +116,7 @@ def build_gan_model(cfg) -> GANModel:
         combine_ab=cfg.model.combine_ab,
         lambda_l1=cfg.loss.lambda_L1,
         lambda_r1=cfg.loss.lambda_r1,
+        r1_interval=int(cfg.loss.get("r1_interval", 1)),
         lr_g=cfg.optimizer.lr_G,
         lr_d=cfg.optimizer.lr_D,
         ema_enabled=cfg.scheduler.ema.enabled,

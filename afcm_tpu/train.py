@@ -126,6 +126,8 @@ def train(cfg, max_iters: Optional[int] = None) -> Dict[str, float]:
     with open(os.path.join(run_dir, "config.yml"), "w") as f:
         f.write(cfg.dump())
     total_iters = 0
+    opt_steps = 0
+    r1_interval = int(cfg.loss.get("r1_interval", 1))
     ssim_max = 0.0
     max_iters = max_iters or (cfg.trainer.max_iters or None)
     last_val = {}
@@ -159,8 +161,16 @@ def train(cfg, max_iters: Optional[int] = None) -> Dict[str, float]:
                                 for k, v in device_batch.items()}
 
             rng, step_rng = jax.random.split(rng)
+            step_kwargs = {}
+            if r1_interval > 1 and hasattr(model, "config") \
+                    and getattr(model.config, "r1_interval", 1) > 1:
+                # Lazy R1: host-side selection between the two compiled
+                # executables (with/without the double-grad subgraph).
+                step_kwargs["with_r1"] = opt_steps % r1_interval == 0
             state, metrics = model.train_step(state, device_batch, step_rng,
-                                              jnp.asarray(float(total_iters)))
+                                              jnp.asarray(float(total_iters)),
+                                              **step_kwargs)
+            opt_steps += 1
 
             if total_iters % cfg.trainer.display_freq < cfg.loaders.batch_size:
                 rng, vis_rng = jax.random.split(rng)

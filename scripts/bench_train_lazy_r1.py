@@ -1,0 +1,85 @@
+"""In-model A/B of the lazy-R1 knob (GANConfig.r1_interval) on the full-size
+AFCM training step: every-step R1 (reference-faithful) vs the off-step
+executable, one process.
+
+The off-step compiles without the R1 double-grad subgraph; with interval N
+the average step time is (1 on-step + (N-1) off-steps) / N. Run:
+
+    python scripts/bench_train_lazy_r1.py [batch] [interval]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from afcm_tpu.utils.profiling import host_sync as sync  # noqa: E402
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    interval = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    from afcm_tpu.models import GANConfig, GANModel, build_discriminator, \
+        build_generator
+
+    g_cfg = dict(netG="stylegan3", z_dim=512, c_dim=1, w_dim=512,
+                 img_resolution=256, img_channels_in=4, img_channels_out=1,
+                 mapping_kwargs=dict(num_layers=8),
+                 synthesis_kwargs=dict(channel_base=16384, channel_max=512,
+                                       num_layers=14, skip_resolution=128,
+                                       lrelu_upsampling=2, conv_clamp=256,
+                                       compute_dtype="bfloat16", remat=True,
+                                       remat_min_size=200))
+    d_cfg = dict(netD="comodgan", c_dim=1, img_resolution=256,
+                 img_channels=5, channel_base=16384, channel_max=512)
+    cfg = GANConfig(z_dim=512, c_dim=1, batch_size=batch,
+                    blur_init_sigma=0.0, r1_interval=interval)
+    model = GANModel(build_generator(g_cfg), build_discriminator(d_cfg), cfg)
+
+    rng = np.random.RandomState(0)
+    batch_data = {
+        "A": jnp.asarray(rng.randn(batch, 4, 256, 256).clip(-1, 1),
+                         jnp.float32),
+        "B": jnp.asarray(rng.randn(batch, 1, 256, 256).clip(-1, 1),
+                         jnp.float32),
+        "slice_idx": jnp.asarray(rng.rand(batch, 1), jnp.float32)}
+    state = model.init_state(jax.random.PRNGKey(0), batch_data)
+    sync(state.params_G)
+
+    def run(with_r1, iters=10):
+        nonlocal state
+        # train_step donates state; keep the returned one.
+        state, m = model.train_step(state, batch_data, jax.random.PRNGKey(1),
+                                    jnp.asarray(0.0), with_r1=with_r1)
+        sync(m["G_L1"])  # compile + warm
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            for i in range(iters):
+                state, m = model.train_step(state, batch_data,
+                                            jax.random.PRNGKey(2 + i),
+                                            jnp.asarray(0.0), with_r1=with_r1)
+            sync(m["G_L1"])
+            times.append((time.time() - t0) / iters * 1000)
+        return float(np.median(times)), m
+
+    ms_on, m_on = run(True)
+    print(f"with_r1=True : {ms_on:7.1f} ms/step   "
+          f"D_r1={float(m_on['D_r1']):.4f}", flush=True)
+    ms_off, m_off = run(False)
+    print(f"with_r1=False: {ms_off:7.1f} ms/step   "
+          f"D_r1={float(m_off['D_r1']):.4f}", flush=True)
+    avg = (ms_on + (interval - 1) * ms_off) / interval
+    print(f"interval={interval}: avg {avg:.1f} ms/step "
+          f"({ms_on / avg:.2f}x vs every-step R1), "
+          f"{batch / avg * 1000:.1f} img/s/chip")
+
+
+if __name__ == "__main__":
+    main()

@@ -79,9 +79,16 @@ def test_aligned_dataset(image_root):
 def test_unaligned_and_single_dataset(image_root):
     from afcm_tpu.data.image_datasets import SingleDataset, UnalignedDataset
     ds = UnalignedDataset(image_root, phase="train", load_size=72,
-                          crop_size=64, serial_batches=True)
+                          crop_size=64, serial_batches=True,
+                          input_nc=3, output_nc=3)
     item = ds.get_item(1)
     assert item["A"].shape == (3, 64, 64)
+    assert item["B"].shape == (3, 64, 64)
+    # default channel count matches this repo's 1-channel MR configs
+    assert UnalignedDataset(image_root, phase="train", load_size=72,
+                            crop_size=64,
+                            serial_batches=True).get_item(0)["A"].shape \
+        == (1, 64, 64)
     single = SingleDataset(os.path.join(image_root, "trainA"), load_size=64,
                            crop_size=64)
     assert single.get_item(0)["A"].shape == (1, 64, 64)

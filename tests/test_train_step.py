@@ -129,3 +129,38 @@ def test_lr_injection(model, state):
     st = state.with_lr(1e-3, 2e-3)
     assert float(st.opt_state_G.hyperparams["learning_rate"]) == pytest.approx(1e-3)
     assert float(st.opt_state_D.hyperparams["learning_rate"]) == pytest.approx(2e-3)
+
+
+def test_lazy_r1(state):
+    """Lazy-R1 knob (GANConfig.r1_interval; StyleGAN2 trick, opt-in — the
+    reference computes R1 every step, comodgan_model.py:143-147).
+
+    * with_r1=False: D_r1 metric is exactly 0 and the step still updates D.
+    * with_r1=True at interval N: the penalty enters the loss scaled by N, so
+      params_D must differ from the interval-1 step on identical inputs
+      while the raw D_r1 metric matches.
+    """
+    rng = np.random.RandomState(7)
+    batch = _batch(rng)
+    m1 = _make_model()                    # r1_interval=1 (reference-faithful)
+    m2 = _make_model(r1_interval=2)
+
+    st = jax.tree.map(jnp.copy, state)
+    s_off, met_off = m2.train_step(st, batch, jax.random.PRNGKey(4),
+                                   jnp.asarray(0.0), with_r1=False)
+    assert float(met_off["D_r1"]) == 0.0
+    d_changed = jax.tree.reduce(
+        lambda a, b: a or b,
+        jax.tree.map(lambda a, b: bool(jnp.any(a != b)),
+                     state.params_D, s_off.params_D))
+    assert d_changed
+
+    s1, met1 = m1.train_step(jax.tree.map(jnp.copy, state), batch,
+                             jax.random.PRNGKey(4), jnp.asarray(0.0))
+    s2, met2 = m2.train_step(jax.tree.map(jnp.copy, state), batch,
+                             jax.random.PRNGKey(4), jnp.asarray(0.0),
+                             with_r1=True)
+    assert float(met1["D_r1"]) == pytest.approx(float(met2["D_r1"]), rel=1e-6)
+    leaves1 = jax.tree.leaves(s1.params_D)
+    leaves2 = jax.tree.leaves(s2.params_D)
+    assert any(bool(jnp.any(a != b)) for a, b in zip(leaves1, leaves2))
