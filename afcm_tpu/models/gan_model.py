@@ -45,9 +45,12 @@ class GANConfig:
     # reference computes R1 every D step, comodgan_model.py:143-147). With
     # interval N the penalty runs every Nth step scaled by N so the
     # integrated regularization strength is unchanged; the off-steps compile
-    # to a separate executable without the double-grad subgraph (~1.4x step
-    # rate on v5e). The StyleGAN2 beta/lr re-derivation is deliberately not
-    # applied — document the deviation where the knob is enabled.
+    # to a separate executable without the double-grad subgraph. Measured on
+    # v5e (full-size model, bf16, remat_min_size 140): off-step 993 ms vs
+    # 1042 on-step — the step is generator-dominated, so the win is ~5%
+    # per off-step (~1.04x avg at interval 4). The StyleGAN2 beta/lr
+    # re-derivation is deliberately not applied — document the deviation
+    # where the knob is enabled.
     r1_interval: int = 1
     lr_g: float = 0.0025
     lr_d: float = 0.002

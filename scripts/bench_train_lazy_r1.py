@@ -25,6 +25,13 @@ from afcm_tpu.utils.profiling import host_sync as sync  # noqa: E402
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     interval = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    # remat_min_size: at 200 (the fastest every-step config) the no-R1
+    # executable OOMs by 44 MB on a 16G v5e — XLA's remat scheduling keeps
+    # more 2x-rate temps live without the R1 subgraph. 140 pulls the 148
+    # layer tier into remat (the next tier below 200) and fits both
+    # executables. Measured: on 1042 ms, off 993 ms (the step is
+    # G-dominated; lazy R1 buys ~5% per off-step).
+    remat_min = int(sys.argv[3]) if len(sys.argv) > 3 else 140
     from afcm_tpu.models import GANConfig, GANModel, build_discriminator, \
         build_generator
 
@@ -35,7 +42,7 @@ def main():
                                        num_layers=14, skip_resolution=128,
                                        lrelu_upsampling=2, conv_clamp=256,
                                        compute_dtype="bfloat16", remat=True,
-                                       remat_min_size=200))
+                                       remat_min_size=remat_min))
     d_cfg = dict(netD="comodgan", c_dim=1, img_resolution=256,
                  img_channels=5, channel_base=16384, channel_max=512)
     cfg = GANConfig(z_dim=512, c_dim=1, batch_size=batch,
