@@ -93,3 +93,14 @@ def test_stylegan3_config_builds_model():
     model = build_gan_model(cfg)
     assert model.config.blur_init_sigma == 10.0
     assert model.generator.synthesis_kwargs["num_layers"] == 14
+
+
+def test_r1_interval_threads_to_model():
+    from afcm_tpu.models import build_gan_model
+    cfg = setup(_Args(os.path.join(REPO, "configs/adni/comodgan/ccsr.yml"),
+                      opts=["loss.r1_interval", "4"]))
+    model = build_gan_model(cfg)
+    assert model.config.r1_interval == 4
+    # default stays reference-faithful (R1 every step)
+    cfg = setup(_Args(os.path.join(REPO, "configs/adni/comodgan/ccsr.yml")))
+    assert build_gan_model(cfg).config.r1_interval == 1
