@@ -22,6 +22,12 @@ _CODES = {np.dtype(v).name: k for k, v in _DTYPES.items()}
 
 def _open(path: str, mode: str):
     if str(path).endswith(".gz"):
+        if "w" in mode:
+            # Level 1: on this single-core host zlib's default level 9 costs
+            # ~1.8 s per 6 MB float volume — 10 s/subject of the predictor's
+            # end-to-end time — for a few percent smaller files. Level 1 is
+            # ~10x faster and keeps .nii.gz compatibility.
+            return gzip.open(path, mode, compresslevel=1)
         return gzip.open(path, mode)
     return open(path, mode)
 
