@@ -152,6 +152,13 @@ def get_default_cfg() -> CfgNode:
     c.tpu.remat = False
     c.tpu.remat_min_size = 0   # remat only layers >= this spatial size
     c.tpu.filtered_lrelu_impl = "auto"  # auto | xla | pallas
+    # Serving input transfer: "uint8" ships test patches host->device in the
+    # volume's stored byte dtype and moves the Normalize->[-1,1] chain into
+    # the jitted forward (4x less PCIe/tunnel traffic; matches the float
+    # path within 1 ULP — XLA's constant divide is reciprocal-based).
+    # Falls back to float32 when the transform chain isn't Normalize->ToTensor
+    # or the volume isn't uint8.
+    c.tpu.transfer_dtype = "float32"    # float32 | uint8
     # Quantized inference: route eligible 3x3 convs to the int8 MXU kernel
     # (ops/pallas/conv_int8.py). Applied by evaluate.py; ~57 dB per-layer
     # fidelity, guarded end-to-end by tests/test_conv_int8.py.

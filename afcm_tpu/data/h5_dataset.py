@@ -184,6 +184,39 @@ class AbstractVolumeDataset:
             return sample
         return sample["A"], slice_idx, self.raw_slices[idx]
 
+    def get_item_raw(self, idx: int):
+        """Test-phase window in the volume's stored dtype (uint8), for
+        device-side normalization: the Normalize->[-1,1] chain moves into the
+        jitted forward (evaluate.make_forward_fn) so each patch crosses
+        host->device at 1 byte/voxel instead of 4. Only valid when the
+        standard Normalize->ToTensor pipeline was detected (``_norm_range``);
+        window assembly mirrors ``get_item`` exactly — zero-filled edge
+        slices are raw value 0, which normalizes to the same clipped value
+        as the float path's ``_normalize_zeros``."""
+        assert self.phase == "test" and self._norm_range is not None
+        thickness = self._pick_thickness(_random)
+        modality_as, _ = self._pick_modalities(_random)
+        data_a: List[np.ndarray] = []
+        idx_a = idx
+        for modality_a in modality_as:
+            vol = self.raw[modality_a]
+            if self.slice_num == 1:
+                data_a.append(np.ascontiguousarray(vol[self.raw_slices[idx]]))
+            elif self.slice_num == 4:
+                window, idx_a = self._window_indices(idx, thickness)
+                for w in window:
+                    if w is not None:
+                        data_a.append(np.ascontiguousarray(
+                            vol[self.raw_slices[w]]))
+                    else:
+                        data_a.append(np.zeros_like(vol[0:1]))
+            else:
+                raise NotImplementedError(
+                    f"slice number {self.slice_num} not supported")
+        a = np.concatenate(data_a, axis=0)
+        slice_idx = np.array([idx - idx_a], dtype=np.float32) / thickness
+        return a, slice_idx, self.raw_slices[idx]
+
     # -- native batch fast path ---------------------------------------------
 
     def _full_plane_slices(self) -> bool:

@@ -34,7 +34,7 @@ def rescale_intensity(volume, percentils=(0.5, 99.5), bins_num=256,
     return _ri(volume, percentils=percentils, bins_num=bins_num, norm=norm)
 
 
-def make_forward_fn(model, state, seed: int = 0, mesh=None):
+def make_forward_fn(model, state, seed: int = 0, mesh=None, norm_range=None):
     """Jitted (A, slice_idx) -> fake_B closure over the EMA generator.
 
     Draws a fresh z key per batch (fold_in on a call counter), matching the
@@ -53,6 +53,24 @@ def make_forward_fn(model, state, seed: int = 0, mesh=None):
         from .parallel import batch_sharding
         sharding = batch_sharding(mesh)
 
+    eval_u8 = None
+    if norm_range is not None:
+        # uint8 transfer (tpu.transfer_dtype): patches arrive in the stored
+        # byte dtype and the Normalize->[-1,1] chain runs in-jit on device —
+        # the same formula the host float path precomputes
+        # (data/h5_dataset.py AbstractVolumeDataset._norm) — while
+        # host->device traffic drops 4x. XLA lowers the divide-by-constant
+        # to a reciprocal multiply, so normalized inputs can differ from the
+        # host path by 1 ULP (~6e-8); outputs agree to ~1e-7
+        # (tests/test_end_to_end.py::test_evaluate_uint8_transfer_parity).
+        lo, hi = float(norm_range[0]), float(norm_range[1])
+
+        @jax.jit
+        def eval_u8(state, a_u8, s, sub):
+            a = jnp.clip(2 * ((a_u8.astype(jnp.float32) - lo) / (hi - lo)) - 1,
+                         -1, 1)
+            return model.eval_step(state, a, s, sub)
+
     def forward(a_batch, slice_idx):
         sub = jax.random.fold_in(key, counter[0])
         counter[0] += 1
@@ -61,6 +79,10 @@ def make_forward_fn(model, state, seed: int = 0, mesh=None):
         if sharding is not None:
             a = jax.device_put(a, sharding)
             s = jax.device_put(s, sharding)
+        if np.asarray(a_batch).dtype == np.uint8:
+            assert eval_u8 is not None, \
+                "uint8 batches require make_forward_fn(norm_range=...)"
+            return eval_u8(state, a, s, sub)
         return model.eval_step(state, a, s, sub)
     return forward
 
@@ -134,8 +156,13 @@ def main(argv=None):
 
     out_path = os.path.join(run_dir, "evaluate")
     os.makedirs(out_path, exist_ok=True)
+    norm_range = None
+    if getattr(cfg.tpu, "transfer_dtype", "float32") == "uint8":
+        from .data.h5_dataset import _is_standard_pipeline
+        norm_range = _is_standard_pipeline(cfg.loaders.test.transformer.raw)
     predictor_cls = get_predictor(cfg.predictor.name)
-    predictor = predictor_cls(make_forward_fn(model, state, mesh=mesh),
+    predictor = predictor_cls(make_forward_fn(model, state, mesh=mesh,
+                                              norm_range=norm_range),
                               out_path, cfg,
                               patch_halo=cfg.predictor.patch_halo)
 

@@ -118,6 +118,13 @@ class StandardPredictor:
                 inputs = a_batch[:n, 1:2]
             else:
                 inputs = a_batch[:n]
+            if a_batch.dtype == np.uint8:
+                # uint8-transfer loaders (TestLoader.norm_range) ship raw
+                # bytes; the written input head must match the float path.
+                lo, hi = test_loader.norm_range
+                inputs = np.clip(
+                    2 * ((inputs.astype(np.float32) - lo) / (hi - lo)) - 1,
+                    -1, 1)
             inputs = inputs[:, :, None]
 
             per_head = [predictions, predictions, inputs][:heads]

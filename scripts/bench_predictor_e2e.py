@@ -5,7 +5,7 @@ native overlap-accumulate + NIfTI write), demo-sized subjects.
 This measures what a deployment sees — the G_ema forward rate (bench.py)
 minus the stitching/IO overhead of the real pipeline.
 
-    python scripts/bench_predictor_e2e.py [n_subjects]
+    python scripts/bench_predictor_e2e.py [n_subjects] [uint8|float32]
 
 Prints slices/s end-to-end and the ratio vs the pure-forward bench.
 """
@@ -30,6 +30,7 @@ class _Args:
 
 def main():
     n_subjects = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    transfer = sys.argv[2] if len(sys.argv) > 2 else "uint8"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     work = "/tmp/bench_predictor_e2e"
     os.makedirs(work, exist_ok=True)
@@ -49,7 +50,8 @@ def main():
          "loaders.train.file_paths", f"['{data_root}/train']",
          "loaders.val.file_paths", f"['{data_root}/val']",
          "checkpoints_dir", os.path.join(work, "ckpt"),
-         "tpu.compute_dtype", "bfloat16"]))
+         "tpu.compute_dtype", "bfloat16",
+         "tpu.transfer_dtype", transfer]))
 
     from afcm_tpu.models import build_gan_model
     from afcm_tpu.evaluate import make_forward_fn
@@ -62,7 +64,9 @@ def main():
              "B": jnp.zeros((1, cfg.model.G.img_channels_out, res, res)),
              "slice_idx": jnp.zeros((1, 1))}
     state = model.init_state(jax.random.PRNGKey(0), dummy)  # random weights
-    forward = make_forward_fn(model, state)
+    from afcm_tpu.data.h5_dataset import _is_standard_pipeline
+    norm_range = _is_standard_pipeline(cfg.loaders.test.transformer.raw)
+    forward = make_forward_fn(model, state, norm_range=norm_range)
 
     runs = []
     for loader in get_test_loaders(cfg):

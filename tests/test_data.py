@@ -135,6 +135,35 @@ def test_test_loader_contract(demo_root):
     assert isinstance(indices[0], tuple) and isinstance(indices[0][0], slice)
 
 
+def test_uint8_transfer_loader_parity(demo_root):
+    """TestLoader(transfer_dtype='uint8') yields raw byte windows whose
+    device-side normalization reproduces the float pipeline exactly."""
+    ds = CmsrDataset(_loaders_config(demo_root), phase="test").datasets[0]
+    f_loader = TestLoader(ds, batch_size=5)
+    u_loader = TestLoader(ds, batch_size=5, transfer_dtype="uint8")
+    assert u_loader.norm_range == (0.0, 255.0)
+    lo, hi = u_loader.norm_range
+    for (af, sf, idxf), (au, su, idxu) in zip(iter(f_loader), iter(u_loader)):
+        assert au.dtype == np.uint8
+        norm = np.clip(2 * ((au.astype(np.float32) - lo) / (hi - lo)) - 1,
+                       -1, 1)
+        np.testing.assert_array_equal(af, norm)
+        np.testing.assert_array_equal(sf, su)
+        assert idxf == idxu
+
+
+def test_uint8_transfer_falls_back_without_standard_pipeline(demo_root):
+    cfg = _loaders_config(demo_root)
+    cfg["test"]["transformer"] = {"raw": {
+        "Standardize": {"enabled": True},
+        "ToTensor": {"enabled": True, "expand_dims": False}}}
+    ds = CmsrDataset(cfg, phase="test").datasets[0]
+    loader = TestLoader(ds, batch_size=4, transfer_dtype="uint8")
+    assert loader.norm_range is None
+    a, _, _ = next(iter(loader))
+    assert a.dtype == np.float32
+
+
 def test_nifti_roundtrip(tmp_path):
     vol = (np.random.RandomState(0).rand(10, 20, 30) * 255).astype(np.uint8)
     path = str(tmp_path / "test.nii.gz")

@@ -68,6 +68,33 @@ def test_evaluate_smoke(cfg, workdir):
     assert "evaluate.txt" in files
 
 
+def test_evaluate_uint8_transfer_parity(cfg, workdir):
+    """tpu.transfer_dtype uint8 (device-side normalization) reproduces the
+    float-transfer evaluation to ~1 ULP (runs after test_evaluate_smoke,
+    whose float-path predictions it compares against). Not bit-identical:
+    XLA lowers the Normalize divide-by-constant to a reciprocal multiply,
+    which differs from numpy's correctly-rounded divide by 1 ULP on most
+    byte values; the generator propagates that to ~1e-7 on its outputs."""
+    from afcm_tpu.evaluate import main as evaluate_main
+    from afcm_tpu.utils.nifti import read_nifti
+    eval_dir = os.path.join(str(workdir), "checkpoints", "demo_tiny",
+                            "evaluate")
+    pred_path = next(os.path.join(eval_dir, f) for f in os.listdir(eval_dir)
+                     if f.endswith("_predictions0.nii.gz"))
+    float_vol, _ = read_nifti(pred_path)
+    float_vol = float_vol.copy()
+    result = evaluate_main([
+        "--config-file", os.path.join(REPO, "configs/demo/cmsr_tiny.yml"),
+        "loaders.train.file_paths", f"['{workdir}/data/demo/train']",
+        "loaders.val.file_paths", f"['{workdir}/data/demo/val']",
+        "loaders.test.file_paths", f"['{workdir}/data/demo/test']",
+        "checkpoints_dir", f"{workdir}/checkpoints",
+        "tpu.transfer_dtype", "uint8"])
+    assert np.isfinite(result["psnr"])
+    uint8_vol, _ = read_nifti(pred_path)
+    np.testing.assert_allclose(uint8_vol, float_vol, rtol=0, atol=1e-6)
+
+
 def test_resume_restores_state(cfg, workdir):
     from afcm_tpu.models import build_gan_model
     from afcm_tpu.utils import checkpoint as ckpt
