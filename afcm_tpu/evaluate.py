@@ -169,11 +169,13 @@ def main(argv=None):
     c_psnr, c_ssim, c_psnr_slice, c_ssim_slice = [], [], [], []
     with open(os.path.join(out_path, "evaluate.txt"), "a") as fw:
         for test_loader in get_test_loaders(cfg):
-            pred_path = predictor(test_loader)
+            predictor(test_loader)
             subject = os.path.basename(
                 test_loader.dataset.file_path).split(".")[0]
 
-            img_data, _ = read_nifti(pred_path)
+            # The stitched head-0 volume, bit-identical to reading back the
+            # (background-written) predictions0 file — float32 roundtrip.
+            img_data = predictor.last_prediction
             img_data = (np.clip(img_data, -1, 1) + 1) / 2
 
             target = find_target_volume(cfg, subject)
@@ -185,10 +187,12 @@ def main(argv=None):
                     np.float64) / 255
 
             # Persist the rescaled target next to the predictions
-            # (reference writes <subject>_ori.nii.gz, evaluate.py:92-93).
+            # (reference writes <subject>_ori.nii.gz, evaluate.py:92-93) —
+            # on the predictor's background writer, like the head files.
             from .utils.nifti import write_nifti
-            write_nifti(os.path.join(out_path, subject + "_ori.nii.gz"),
-                        target_data.astype(np.float32))
+            predictor.submit_write(
+                write_nifti, os.path.join(out_path, subject + "_ori.nii.gz"),
+                target_data.astype(np.float32))
 
             one = evaluate_3D(img_data, target_data)
             one_slice = evaluate_slice(img_data, target_data)
@@ -211,6 +215,9 @@ def main(argv=None):
                     f"ssim_slice:{np.std(c_ssim_slice):.6}\n")
         fw.write(summary)
         print(summary, end="")
+    # Heads 1/2 are written by the predictor's background writer, overlapped
+    # with the next subject's forward; make sure they are all on disk.
+    predictor.wait_for_writes()
     return {"psnr": float(np.mean(c_psnr)), "ssim": float(np.mean(c_ssim))}
 
 

@@ -16,6 +16,9 @@ of head 0 so downstream tooling indexed on three heads keeps working.
 from __future__ import annotations
 
 import os
+import shutil
+import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Optional, Sequence
 
 import numpy as np
@@ -72,8 +75,23 @@ class StandardPredictor:
         self.patch_halo = tuple(patch_halo)
         self.out_channels = out_channels
         self.output_heads = output_heads
+        # per-phase wall-clock accumulators (seconds), for serving profiling
+        # (scripts/bench_predictor_e2e.py); negligible overhead.
+        self.timings = {"load": 0.0, "dispatch": 0.0, "fetch": 0.0,
+                        "stitch": 0.0, "save": 0.0}
+        self._writer: Optional[ThreadPoolExecutor] = None
+        self._write_futures: list = []
+        # finalized head-0 volume of the most recent __call__ (numpy, float32)
+        self.last_prediction: Optional[np.ndarray] = None
 
     def __call__(self, test_loader) -> str:
+        """Predict + stitch one subject; returns the head-0 NIfTI path.
+
+        Writes are queued on a background thread (write-behind): the
+        returned path — and the other heads' files — are only guaranteed
+        on disk after ``wait_for_writes()``. The stitched head-0 volume is
+        immediately available in memory as ``self.last_prediction``.
+        """
         dataset = test_loader.dataset
         volume_shape = self._volume_shape(dataset)
         if self.config is not None:
@@ -82,8 +100,13 @@ class StandardPredictor:
 
         maps_shape = (self.out_channels,) + tuple(volume_shape)
         heads = self.output_heads
-        prediction_maps = [np.zeros(maps_shape, np.float32) for _ in range(heads)]
-        normalization_masks = [np.zeros(maps_shape, np.uint16) for _ in range(heads)]
+        # Head 1 (the reference's phantom ``pred_mask``) is by construction
+        # identical to head 0 (see per_head below) — it is never accumulated
+        # and its file is written as a copy of head 0's.
+        prediction_maps = [None if h == 1 else np.zeros(maps_shape, np.float32)
+                           for h in range(heads)]
+        normalization_masks = [None if h == 1 else np.zeros(maps_shape, np.uint16)
+                               for h in range(heads)]
 
         batch_size = test_loader.batch_size
 
@@ -102,14 +125,22 @@ class StandardPredictor:
                     axis=0)
             return self.forward_fn(a_batch, slice_idx), a_batch, n, indices
 
+        t = self.timings
         it = iter(test_loader)
         nxt = next(it, None)
         pending = _dispatch(nxt) if nxt is not None else None
         while pending is not None:
+            t0 = time.perf_counter()
             nxt = next(it, None)
+            t1 = time.perf_counter()
+            t["load"] += t1 - t0
             out_dev, a_batch, n, indices = pending
             pending = _dispatch(nxt) if nxt is not None else None
+            t2 = time.perf_counter()
+            t["dispatch"] += t2 - t1
             predictions = np.asarray(out_dev)[:n]
+            t3 = time.perf_counter()
+            t["fetch"] += t3 - t2
             if predictions.ndim == 4:  # 2-D model output -> add depth axis
                 predictions = predictions[:, :, None]  # [N, C, 1, H, W]
 
@@ -130,6 +161,8 @@ class StandardPredictor:
             per_head = [predictions, predictions, inputs][:heads]
             for head, (pred_batch, pmap, nmask) in enumerate(zip(
                     per_head, prediction_maps, normalization_masks)):
+                if pmap is None:  # head 1: written as a copy of head 0
+                    continue
                 if self._accumulate_native(pred_batch, indices, volume_shape,
                                            pmap, nmask):
                     continue
@@ -139,8 +172,12 @@ class StandardPredictor:
                                                   self.patch_halo)
                     pmap[u_index] += u_pred
                     nmask[u_index] += 1
+            t["stitch"] += time.perf_counter() - t3
 
-        return self._save_results(prediction_maps, normalization_masks, dataset)
+        t4 = time.perf_counter()
+        out = self._save_results(prediction_maps, normalization_masks, dataset)
+        t["save"] += time.perf_counter() - t4
+        return out
 
     def _accumulate_native(self, pred_batch, indices, volume_shape, pmap,
                            nmask) -> bool:
@@ -181,18 +218,48 @@ class StandardPredictor:
         os.makedirs(self.output_dir, exist_ok=True)
         base = os.path.splitext(os.path.basename(dataset.file_path))[0]
         base = base.split(".")[0]
-        out_paths = []
-        for i, (pmap, nmask) in enumerate(zip(prediction_maps,
-                                              normalization_masks)):
+        out_paths = [os.path.join(self.output_dir,
+                                  f"{base}_predictions{i}.nii.gz")
+                     for i in range(len(prediction_maps))]
+
+        def _finalize(pmap, nmask):
             out = pmap / np.maximum(nmask, 1)
             if getattr(dataset, "mirror_padding", None) is not None:
                 z_s, y_s, x_s = [_slice_from_pad(p)
                                  for p in dataset.mirror_padding]
                 out = out[:, z_s, y_s, x_s]
-            path = os.path.join(self.output_dir, f"{base}_predictions{i}.nii.gz")
-            write_nifti(path, np.squeeze(out))
-            out_paths.append(path)
+            return np.squeeze(out)
+
+        # All head files go to a single background writer so the gzip cost
+        # overlaps the next subject's device forward (the host sits idle in
+        # the fetch wait otherwise — 1-core box). The finalized head-0 volume
+        # stays available in memory as `last_prediction` (bit-identical to
+        # the float32 write->read roundtrip); callers that read the FILES
+        # must call wait_for_writes() first.
+        self.last_prediction = _finalize(prediction_maps[0],
+                                         normalization_masks[0])
+        self.submit_write(write_nifti, out_paths[0], self.last_prediction)
+        for i in range(1, len(prediction_maps)):
+            if prediction_maps[i] is None:  # head 1 == head 0 byte-for-byte
+                self.submit_write(shutil.copyfile, out_paths[0], out_paths[i])
+            else:
+                self.submit_write(write_nifti, out_paths[i],
+                                  _finalize(prediction_maps[i],
+                                            normalization_masks[i]))
         return out_paths[0]
+
+    def submit_write(self, fn, *args):
+        """Queue an IO task on the predictor's single background writer
+        (ordered; use wait_for_writes() as the barrier)."""
+        if self._writer is None:
+            self._writer = ThreadPoolExecutor(max_workers=1)
+        self._write_futures.append(self._writer.submit(fn, *args))
+
+    def wait_for_writes(self):
+        """Block until all background head writes land (re-raises errors)."""
+        futures, self._write_futures = self._write_futures, []
+        for f in futures:
+            f.result()
 
     @staticmethod
     def _validate_halo(patch_halo, slice_builder_config):

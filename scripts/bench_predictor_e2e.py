@@ -69,23 +69,31 @@ def main():
     forward = make_forward_fn(model, state, norm_range=norm_range)
 
     runs = []
+    predictor = get_predictor("StandardPredictor")(
+        forward, os.path.join(work, "out"), cfg)
     for loader in get_test_loaders(cfg):
-        predictor = get_predictor("StandardPredictor")(
-            forward, os.path.join(work, "out"), cfg)
+        snap = dict(predictor.timings)
         n = len(loader.dataset)
         t0 = time.time()
         predictor(loader)
         dt = time.time() - t0
         subject = os.path.basename(loader.dataset.file_path)
+        phases = " ".join(f"{k}={predictor.timings[k] - snap[k]:.2f}s"
+                          for k in predictor.timings)
         print(f"subject {subject}: {n} patches "
-              f"in {dt:.2f} s = {n / dt:.1f} slices/s e2e", flush=True)
+              f"in {dt:.2f} s = {n / dt:.1f} slices/s e2e  [{phases}]",
+              flush=True)
         runs.append((n, dt))
+    t0 = time.time()
+    predictor.wait_for_writes()  # background head-1/2 writes
+    drain = time.time() - t0
+    print(f"write drain: {drain:.2f} s")
 
     steady = runs[1:] if len(runs) > 1 else runs  # first pays the compile
     n = sum(r[0] for r in steady)
-    t = sum(r[1] for r in steady)
+    t = sum(r[1] for r in steady) + drain
     print(f"steady-state: {n / t:.1f} slices/s end-to-end "
-          f"(stitch + NIfTI included)")
+          f"(stitch + NIfTI + write drain included)")
 
 
 if __name__ == "__main__":

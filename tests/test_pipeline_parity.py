@@ -192,6 +192,7 @@ def _run_our_pipeline(env, family, thickness, out_dir):
     predictor = StandardPredictor(forward_fn=forward, output_dir=out_dir,
                                   config=None, patch_halo=HALO)
     path0 = predictor(loader)
+    predictor.wait_for_writes()  # head files are written write-behind
     vols = {}
     for i in range(3):
         vols[i], _ = read_nifti(path0.replace("predictions0",
