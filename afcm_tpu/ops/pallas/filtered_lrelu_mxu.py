@@ -180,7 +180,7 @@ def _pick_cb(c, hx, wxw, msl, n_th, boh, bow, bytes_per):
 @functools.lru_cache(maxsize=None)
 def _build_mxu_call(in_h, in_w, c, fu_key, fd_key, up, down, padding, gain,
                     slope, clamp, flip, dtype_name, ms_target, interpret,
-                    bo_align=None):
+                    bo_align=None, element_gather=False):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -208,7 +208,13 @@ def _build_mxu_call(in_h, in_w, c, fu_key, fd_key, up, down, padding, gain,
 
     cdt = jnp.dtype(dtype_name)
     f32 = jnp.float32
-    cb = _pick_cb(c, hx, wxw, mswl, n_th, boh, bow, cdt.itemsize)
+    # Element-gather mode: the kernel reads overlapping W windows straight
+    # from HBM via pl.Element block dims instead of an XLA-side gathered
+    # [N, C, n_tw, hx, wxw] copy (~20 ms/iter of the bf16 forward). Mosaic's
+    # 8/128 rule applies to Element blocks too, so the window widens to a
+    # 128 multiple; the extra columns multiply zero tap rows (exact).
+    wxwE = -(-wxw // 128) * 128 if element_gather else wxw
+    cb = _pick_cb(c, hx, wxwE, mswl, n_th, boh, bow, cdt.itemsize)
     c_pad = -(-c // cb) * cb
     lanes = cb * mswl
 
@@ -217,7 +223,11 @@ def _build_mxu_call(in_h, in_w, c, fu_key, fd_key, up, down, padding, gain,
     # across jit boundaries. pallas_call converts them per trace.
     np_dt = np.dtype(cdt.name) if cdt.name != "bfloat16" else \
         jnp.bfloat16
-    muw = np.asarray(plan_w["mu"], np_dt)                # [wxw, mswl]
+    mu_w_np = plan_w["mu"]
+    if wxwE != wxw:
+        mu_w_np = np.concatenate(
+            [mu_w_np, np.zeros((wxwE - wxw, mswl), np.float32)])
+    muw = np.asarray(mu_w_np, np_dt)                     # [wxwE, mswl]
     mdw = np.asarray(plan_w["md"], np_dt)                # [mswl, bow]
     muh_t = np.ascontiguousarray(plan_h["mu"].T).astype(np_dt)   # [mshl, wxh]
     mdh_t = np.ascontiguousarray(plan_h["md"].T).astype(np_dt)   # [boh, mshl]
@@ -244,10 +254,20 @@ def _build_mxu_call(in_h, in_w, c, fu_key, fd_key, up, down, padding, gain,
             m = m * ((t >= -clamp_f) & (t <= clamp_f)).astype(f32)
         return m
 
+    # x-tile channel accessor: tile-form refs are [1, cb, 1, hx, wxw]
+    # (pre-gathered), element-form refs are [cb, hx, wxwE] (the N dim is
+    # Squeezed and the window comes straight from HBM).
+    if element_gather:
+        def _x_at(x_ref, ci):
+            return x_ref[ci]
+    else:
+        def _x_at(x_ref, ci):
+            return x_ref[0, ci, 0]
+
     def _wup(x_ref, muw_ref, a_ref):
         """A[:, c-slot] = x_c @ Mu_w for every channel (fat row dim Hx)."""
         for ci in range(cb):
-            a = jnp.dot(x_ref[0, ci, 0], muw_ref[...],
+            a = jnp.dot(_x_at(x_ref, ci), muw_ref[...],
                         preferred_element_type=f32)       # [hx, mswl]
             a_ref[:, ci * mswl:(ci + 1) * mswl] = a.astype(cdt)
 
@@ -316,6 +336,15 @@ def _build_mxu_call(in_h, in_w, c, fu_key, fd_key, up, down, padding, gain,
         return pl.BlockSpec((1, cb, 1, hx, wxw),
                             lambda n, ci, wt: (n, ci, wt, 0, 0))
 
+    sw_w = plan_w["s"]
+
+    def x_spec_elem():
+        # Overlapping windows at element offsets wt*sw_w on the (padded,
+        # in-bounds) x — index_map entries are ELEMENT offsets here.
+        return pl.BlockSpec(
+            (pl.Squeezed(), pl.Element(cb), pl.Element(hx), pl.Element(wxwE)),
+            lambda n, ci, wt: (n, ci * cb, 0, wt * sw_w))
+
     def mat_spec(m):
         return pl.BlockSpec(m.shape, lambda n, ci, wt: (0,) * m.ndim)
 
@@ -326,11 +355,13 @@ def _build_mxu_call(in_h, in_w, c, fu_key, fd_key, up, down, padding, gain,
         return pl.BlockSpec((1, cb, 1, hout, bow),
                             lambda n, ci, wt: (n, ci, wt, 0, 0))
 
-    def fwd_call(tiles, n):
+    in0_spec = x_spec_elem if element_gather else x_spec
+
+    def fwd_call(x_in, n):
         return pl.pallas_call(
             fwd_kernel,
             grid=(n, c_pad // cb, n_tw),
-            in_specs=[x_spec(), mat_spec(muw), mat_spec(muh_t),
+            in_specs=[in0_spec(), mat_spec(muw), mat_spec(muh_t),
                       mat_spec(mdh_t), mat_spec(mdw)],
             out_specs=o_spec(),
             out_shape=jax.ShapeDtypeStruct(
@@ -338,13 +369,15 @@ def _build_mxu_call(in_h, in_w, c, fu_key, fd_key, up, down, padding, gain,
             scratch_shapes=[pltpu.VMEM((hx, lanes), cdt),
                             pltpu.VMEM((hout, lanes), cdt)],
             interpret=interpret,
-        )(tiles, muw, muh_t, mdh_t, mdw)
+        )(x_in, muw, muh_t, mdh_t, mdw)
 
-    def bwd_call(tiles, g, n):
+    def bwd_call(x_in, g, n):
+        # dx comes out in tile form even in element-gather mode; the wrapper
+        # overlap-adds the tiles (the transpose of the window gather).
         return pl.pallas_call(
             bwd_kernel,
             grid=(n, c_pad // cb, n_tw),
-            in_specs=[x_spec(), o_spec(), mat_spec(muw), mat_spec(muh_t),
+            in_specs=[in0_spec(), o_spec(), mat_spec(muw), mat_spec(muh_t),
                       mat_spec(mdw_t), mat_spec(mdh), mat_spec(muh),
                       mat_spec(muw_t)],
             out_specs=x_spec(),
@@ -353,10 +386,11 @@ def _build_mxu_call(in_h, in_w, c, fu_key, fd_key, up, down, padding, gain,
             scratch_shapes=[pltpu.VMEM((hx, lanes), cdt),
                             pltpu.VMEM((hx, lanes), jnp.float32)],
             interpret=interpret,
-        )(tiles, g, muw, muh_t, mdw_t, mdh, muh, muw_t)
+        )(x_in, g, muw, muh_t, mdw_t, mdh, muh, muw_t)
 
     meta = dict(plan_h=plan_h, plan_w=plan_w, c_pad=c_pad, cb=cb, hx=hx,
-                hout=hout, out_h=plan_h["out_len"], out_w=plan_w["out_len"])
+                hout=hout, out_h=plan_h["out_len"], out_w=plan_w["out_len"],
+                wxwE=wxwE, element_gather=element_gather)
     return fwd_call, bwd_call, meta
 
 
@@ -376,10 +410,22 @@ def _pad_axis(x, axis, lo, hi):
     return x
 
 
+_ELEMENT_GATHER = False      # flipped by measurement; see set_element_gather
+
+
+def set_element_gather(on: bool):
+    """Route the kernel's x input through pl.Element windows (overlapping
+    reads straight from HBM) instead of the XLA-side gathered tile copy.
+    Exact either way; this is a perf knob (see docs/performance.md)."""
+    global _ELEMENT_GATHER
+    _ELEMENT_GATHER = bool(on)
+
+
 def filtered_lrelu_mxu(x, fu, fd, b, up, down, padding, gain, slope, clamp,
                        flip_filter, ms_target: int = 128,
                        interpret: bool = False,
-                       bo_align: Optional[int] = None
+                       bo_align: Optional[int] = None,
+                       element_gather: Optional[bool] = None
                        ) -> Optional[jnp.ndarray]:
     """Fused banded-MXU filtered_lrelu; NCHW in/out. Returns None when the
     configuration is unsupported (caller falls back to the XLA composition).
@@ -392,13 +438,14 @@ def filtered_lrelu_mxu(x, fu, fd, b, up, down, padding, gain, slope, clamp,
         return None
     if len(fu) == 1 and len(fd) == 1 and up == 1 and down == 1:
         return None                       # pure elementwise: XLA is optimal
+    use_elem = _ELEMENT_GATHER if element_gather is None else element_gather
     n, c, in_h, in_w = map(int, x.shape)
     built = _build_mxu_call(
         in_h, in_w, c, tuple(fu.tolist()), tuple(fd.tolist()), int(up),
         int(down), tuple(int(p) for p in padding), float(gain), float(slope),
         None if clamp is None else float(clamp), bool(flip_filter),
         x.dtype.name, int(ms_target), bool(interpret),
-        None if bo_align is None else int(bo_align))
+        None if bo_align is None else int(bo_align), bool(use_elem))
     if built is None:
         return None
     fwd_call, bwd_call, meta = built
@@ -409,30 +456,57 @@ def filtered_lrelu_mxu(x, fu, fd, b, up, down, padding, gain, slope, clamp,
     if b is not None:
         x = x + jnp.asarray(b, x.dtype)[None, :, None, None]
     x_p = _pad_axis(x, 2, plan_h["pad_lo"], plan_h["pad_hi"])
-    x_p = _pad_axis(x_p, 3, plan_w["pad_lo"], plan_w["pad_hi"])
+    pad_hi_w = plan_w["pad_hi"]
+    if use_elem:
+        # The widened (128-multiple) element window over-reads past the last
+        # true window; extend the zero tail so every read stays in bounds
+        # (the extra columns multiply zero tap rows — exact).
+        pad_hi_w += meta["wxwE"] - wxw
+    x_p = _pad_axis(x_p, 3, plan_w["pad_lo"], pad_hi_w)
     if meta["c_pad"] != c:
         x_p = jnp.pad(x_p, ((0, 0), (0, meta["c_pad"] - c), (0, 0), (0, 0)))
 
-    # Overlapped W-tile gather (XLA; its autodiff transpose is the
-    # overlap-add the backward needs). The H axis is sliced in-kernel.
-    cols = [jax.lax.slice(x_p, (0, 0, 0, j * sw),
-                          (n, meta["c_pad"], meta["hx"], j * sw + wxw))
-            for j in range(n_tw)]
-    tiles = jnp.stack(cols, axis=2)       # [N, c_pad, n_tw, hx, wxw]
+    if use_elem:
+        # Overlapping W windows are read in-kernel via pl.Element offsets —
+        # no gathered copy. The backward still emits tile-form dx; the
+        # overlap-add below is the gather's transpose, written by hand.
+        @jax.custom_vjp
+        def _run(x_p):
+            return fwd_call(x_p, n)
 
-    @jax.custom_vjp
-    def _run(tiles):
-        return fwd_call(tiles, n)
+        def _run_fwd(x_p):
+            return fwd_call(x_p, n), x_p
 
-    def _run_fwd(tiles):
-        return fwd_call(tiles, n), tiles
+        def _run_bwd(x_p, g):
+            dxt = bwd_call(x_p, g, n)     # [N, c_pad, n_tw, hx, wxw]
+            dx = jnp.zeros_like(x_p)
+            for t in range(n_tw):
+                dx = dx.at[:, :, :, t * sw:t * sw + wxw].add(dxt[:, :, t])
+            return (dx,)
 
-    def _run_bwd(tiles, g):
-        return (bwd_call(tiles, g, n),)
+        _run.defvjp(_run_fwd, _run_bwd)
+        y = _run(x_p)                     # [N, c_pad, n_tw, hout, bow]
+    else:
+        # Overlapped W-tile gather (XLA; its autodiff transpose is the
+        # overlap-add the backward needs). The H axis is sliced in-kernel.
+        cols = [jax.lax.slice(x_p, (0, 0, 0, j * sw),
+                              (n, meta["c_pad"], meta["hx"], j * sw + wxw))
+                for j in range(n_tw)]
+        tiles = jnp.stack(cols, axis=2)   # [N, c_pad, n_tw, hx, wxw]
 
-    _run.defvjp(_run_fwd, _run_bwd)
+        @jax.custom_vjp
+        def _run(tiles):
+            return fwd_call(tiles, n)
 
-    y = _run(tiles)                       # [N, c_pad, n_tw, hout, bow]
+        def _run_fwd(tiles):
+            return fwd_call(tiles, n), tiles
+
+        def _run_bwd(tiles, g):
+            return (bwd_call(tiles, g, n),)
+
+        _run.defvjp(_run_fwd, _run_bwd)
+        y = _run(tiles)                   # [N, c_pad, n_tw, hout, bow]
+
     y = jnp.transpose(y, (0, 1, 3, 2, 4)).reshape(
         n, meta["c_pad"], meta["hout"], n_tw * plan_w["bo"])
     return y[:, :c, :meta["out_h"], :meta["out_w"]]

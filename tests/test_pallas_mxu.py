@@ -37,8 +37,10 @@ def _filters(cfg):
     return fu, fd
 
 
+@pytest.mark.parametrize("element_gather", [False, True],
+                         ids=["gather", "element"])
 @pytest.mark.parametrize("cfg", CONFIGS, ids=lambda c: f"u{c['up']}d{c['down']}s{c['size']}")
-def test_forward_matches_xla(cfg, rng):
+def test_forward_matches_xla(cfg, element_gather, rng):
     fu, fd = _filters(cfg)
     x = jnp.asarray(rng.randn(2, cfg["c"], cfg["size"],
                               cfg["size"]).astype(np.float32))
@@ -48,13 +50,16 @@ def test_forward_matches_xla(cfg, rng):
                           gain=np.sqrt(2), slope=0.2, clamp=256, impl="xla")
     got = filtered_lrelu_mxu(x, fu, fd, b, cfg["up"], cfg["down"],
                              cfg["pad"], float(np.sqrt(2)), 0.2, 256.0,
-                             False, interpret=True)
+                             False, interpret=True,
+                             element_gather=element_gather)
     assert got is not None and got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
 
 
-def test_gradient_matches_xla(rng):
+@pytest.mark.parametrize("element_gather", [False, True],
+                         ids=["gather", "element"])
+def test_gradient_matches_xla(element_gather, rng):
     cfg = CONFIGS[0]
     fu, fd = _filters(cfg)
     x = jnp.asarray(rng.randn(1, 3, cfg["size"],
@@ -70,7 +75,7 @@ def test_gradient_matches_xla(rng):
     def loss_mxu(x, b):
         return jnp.sum(jnp.sin(filtered_lrelu_mxu(
             x, fu, fd, b, 2, 2, cfg["pad"], float(np.sqrt(2)), 0.2, 256.0,
-            False, interpret=True)))
+            False, interpret=True, element_gather=element_gather)))
 
     gx1, gb1 = jax.grad(loss_xla, argnums=(0, 1))(x, b)
     gx2, gb2 = jax.grad(loss_mxu, argnums=(0, 1))(x, b)
