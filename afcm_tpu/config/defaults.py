@@ -159,6 +159,11 @@ def get_default_cfg() -> CfgNode:
     # Falls back to float32 when the transform chain isn't Normalize->ToTensor
     # or the volume isn't uint8.
     c.tpu.transfer_dtype = "float32"    # float32 | uint8
+    # Serving output fetch: "bfloat16" halves device->host traffic for the
+    # predictor's prediction batches. With compute_dtype bfloat16 the values
+    # were computed in bf16 anyway, so the extra rounding is ~1 ULP of the
+    # existing drift; stitching still accumulates float32 on host.
+    c.tpu.fetch_dtype = "float32"       # float32 | bfloat16
     # Quantized inference: route eligible 3x3 convs to the int8 MXU kernel
     # (ops/pallas/conv_int8.py). Applied by evaluate.py; ~57 dB per-layer
     # fidelity, guarded end-to-end by tests/test_conv_int8.py.

@@ -34,7 +34,8 @@ def rescale_intensity(volume, percentils=(0.5, 99.5), bins_num=256,
     return _ri(volume, percentils=percentils, bins_num=bins_num, norm=norm)
 
 
-def make_forward_fn(model, state, seed: int = 0, mesh=None, norm_range=None):
+def make_forward_fn(model, state, seed: int = 0, mesh=None, norm_range=None,
+                    fetch_dtype=None):
     """Jitted (A, slice_idx) -> fake_B closure over the EMA generator.
 
     Draws a fresh z key per batch (fold_in on a call counter), matching the
@@ -71,6 +72,24 @@ def make_forward_fn(model, state, seed: int = 0, mesh=None, norm_range=None):
                          -1, 1)
             return model.eval_step(state, a, s, sub)
 
+    # tpu.fetch_dtype "bfloat16": round the prediction batch on device so
+    # the host fetch moves half the bytes. With compute_dtype bfloat16 the
+    # values are bf16-computed already; the predictor accumulates float32.
+    out_dt = (jnp.dtype(fetch_dtype)
+              if fetch_dtype not in (None, "float32") else None)
+    eval_cast = None
+    if out_dt is not None:
+        @jax.jit
+        def eval_cast(state, a, s, sub):
+            return model.eval_step(state, a, s, sub).astype(out_dt)
+
+        if eval_u8 is not None:
+            _eval_u8 = eval_u8
+
+            @jax.jit
+            def eval_u8(state, a_u8, s, sub):
+                return _eval_u8(state, a_u8, s, sub).astype(out_dt)
+
     def forward(a_batch, slice_idx):
         sub = jax.random.fold_in(key, counter[0])
         counter[0] += 1
@@ -83,6 +102,8 @@ def make_forward_fn(model, state, seed: int = 0, mesh=None, norm_range=None):
             assert eval_u8 is not None, \
                 "uint8 batches require make_forward_fn(norm_range=...)"
             return eval_u8(state, a, s, sub)
+        if eval_cast is not None:
+            return eval_cast(state, a, s, sub)
         return model.eval_step(state, a, s, sub)
     return forward
 
@@ -161,10 +182,10 @@ def main(argv=None):
         from .data.h5_dataset import _is_standard_pipeline
         norm_range = _is_standard_pipeline(cfg.loaders.test.transformer.raw)
     predictor_cls = get_predictor(cfg.predictor.name)
-    predictor = predictor_cls(make_forward_fn(model, state, mesh=mesh,
-                                              norm_range=norm_range),
-                              out_path, cfg,
-                              patch_halo=cfg.predictor.patch_halo)
+    predictor = predictor_cls(
+        make_forward_fn(model, state, mesh=mesh, norm_range=norm_range,
+                        fetch_dtype=getattr(cfg.tpu, "fetch_dtype", None)),
+        out_path, cfg, patch_halo=cfg.predictor.patch_halo)
 
     c_psnr, c_ssim, c_psnr_slice, c_ssim_slice = [], [], [], []
     with open(os.path.join(out_path, "evaluate.txt"), "a") as fw:

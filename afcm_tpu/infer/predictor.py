@@ -138,7 +138,11 @@ class StandardPredictor:
             pending = _dispatch(nxt) if nxt is not None else None
             t2 = time.perf_counter()
             t["dispatch"] += t2 - t1
+            # bf16 fetch (tpu.fetch_dtype) arrives as ml_dtypes bfloat16;
+            # stitching accumulates float32 either way.
             predictions = np.asarray(out_dev)[:n]
+            if predictions.dtype != np.float32:
+                predictions = predictions.astype(np.float32)
             t3 = time.perf_counter()
             t["fetch"] += t3 - t2
             if predictions.ndim == 4:  # 2-D model output -> add depth axis

@@ -5,7 +5,8 @@ native overlap-accumulate + NIfTI write), demo-sized subjects.
 This measures what a deployment sees — the G_ema forward rate (bench.py)
 minus the stitching/IO overhead of the real pipeline.
 
-    python scripts/bench_predictor_e2e.py [n_subjects] [uint8|float32]
+    python scripts/bench_predictor_e2e.py [n_subjects] [uint8|float32] \
+        [fetch_dtype]
 
 Prints slices/s end-to-end and the ratio vs the pure-forward bench.
 """
@@ -31,6 +32,7 @@ class _Args:
 def main():
     n_subjects = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     transfer = sys.argv[2] if len(sys.argv) > 2 else "uint8"
+    fetch = sys.argv[3] if len(sys.argv) > 3 else "float32"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     work = "/tmp/bench_predictor_e2e"
     os.makedirs(work, exist_ok=True)
@@ -51,7 +53,8 @@ def main():
          "loaders.val.file_paths", f"['{data_root}/val']",
          "checkpoints_dir", os.path.join(work, "ckpt"),
          "tpu.compute_dtype", "bfloat16",
-         "tpu.transfer_dtype", transfer]))
+         "tpu.transfer_dtype", transfer,
+         "tpu.fetch_dtype", fetch]))
 
     from afcm_tpu.models import build_gan_model
     from afcm_tpu.evaluate import make_forward_fn
@@ -66,7 +69,8 @@ def main():
     state = model.init_state(jax.random.PRNGKey(0), dummy)  # random weights
     from afcm_tpu.data.h5_dataset import _is_standard_pipeline
     norm_range = _is_standard_pipeline(cfg.loaders.test.transformer.raw)
-    forward = make_forward_fn(model, state, norm_range=norm_range)
+    forward = make_forward_fn(model, state, norm_range=norm_range,
+                              fetch_dtype=cfg.tpu.fetch_dtype)
 
     runs = []
     predictor = get_predictor("StandardPredictor")(

@@ -95,6 +95,32 @@ def test_evaluate_uint8_transfer_parity(cfg, workdir):
     np.testing.assert_allclose(uint8_vol, float_vol, rtol=0, atol=1e-6)
 
 
+def test_evaluate_bf16_fetch_parity(cfg, workdir):
+    """tpu.fetch_dtype bfloat16 (half device->host prediction traffic)
+    matches the float32-fetch evaluation to bf16 rounding (~4e-3 on
+    [-1,1]-ranged outputs; the values are fp32-computed here, so the only
+    delta IS the fetch rounding). Runs after test_evaluate_smoke, whose
+    float-path predictions it compares against."""
+    from afcm_tpu.evaluate import main as evaluate_main
+    from afcm_tpu.utils.nifti import read_nifti
+    eval_dir = os.path.join(str(workdir), "checkpoints", "demo_tiny",
+                            "evaluate")
+    pred_path = next(os.path.join(eval_dir, f) for f in os.listdir(eval_dir)
+                     if f.endswith("_predictions0.nii.gz"))
+    float_vol, _ = read_nifti(pred_path)
+    float_vol = float_vol.copy()
+    result = evaluate_main([
+        "--config-file", os.path.join(REPO, "configs/demo/cmsr_tiny.yml"),
+        "loaders.train.file_paths", f"['{workdir}/data/demo/train']",
+        "loaders.val.file_paths", f"['{workdir}/data/demo/val']",
+        "loaders.test.file_paths", f"['{workdir}/data/demo/test']",
+        "checkpoints_dir", f"{workdir}/checkpoints",
+        "tpu.fetch_dtype", "bfloat16"])
+    assert np.isfinite(result["psnr"])
+    bf16_vol, _ = read_nifti(pred_path)
+    np.testing.assert_allclose(bf16_vol, float_vol, rtol=0, atol=4e-3)
+
+
 def test_resume_restores_state(cfg, workdir):
     from afcm_tpu.models import build_gan_model
     from afcm_tpu.utils import checkpoint as ckpt
