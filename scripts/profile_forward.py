@@ -24,29 +24,6 @@ def sync(x):
     np.asarray(jax.device_get(jnp.sum(jnp.asarray(x, jnp.float32))))
 
 
-def bucket_of(name: str) -> str:
-    n = name.lower()
-    if "pallas" in n or "custom-call" in n or "custom_call" in n:
-        return "pallas/custom"
-    if "conv" in n:
-        # depthwise FIR convs carry feature_group_count == channels; XLA op
-        # names do not say so — separate by a grouped-conv marker when
-        # present, else lump as conv
-        return "conv"
-    if any(k in n for k in ("copy", "transpose", "reshape", "bitcast",
-                            "concatenate", "slice", "pad", "gather",
-                            "dynamic-update")):
-        return "copy/layout"
-    if "fusion" in n:
-        return "fusion(elementwise)"
-    if any(k in n for k in ("dot", "einsum")):
-        return "dot"
-    if any(k in n for k in ("reduce", "convert", "select", "broadcast",
-                            "iota", "compare", "add", "multiply")):
-        return "elementwise"
-    return "other"
-
-
 def main():
     impl = sys.argv[1] if len(sys.argv) > 1 else "auto"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
@@ -92,34 +69,39 @@ def main():
     with gzip.open(paths[0], "rt") as f:
         trace = json.load(f)
     events = trace.get("traceEvents", [])
-    # device stream pids: find thread names containing 'TPU' / 'XLA Op'
+    # Per-op rows live on the '/device:TPU:*' process's "XLA Ops" thread and
+    # carry args.hlo_category + args.long_name (with the HLO text incl. the
+    # output shape). The whole-module rows are on "XLA Modules".
+    tids = {}
+    for ev in events:
+        if ev.get("ph") == "M" and ev.get("name") == "thread_name":
+            tids[(ev["pid"], ev["tid"])] = ev["args"]["name"]
+    import re
     buckets = {}
     names = {}
     total = 0.0
     for ev in events:
         if ev.get("ph") != "X" or "dur" not in ev:
             continue
-        cat = ev.get("args", {}).get("l", "") if ev.get("args") else ""
-        name = ev.get("name", "")
-        tid_name = ""
-        # keep only events that look like HLO ops (have run_id/hlo module)
-        args = ev.get("args") or {}
-        if not any(k in args for k in ("hlo_op", "run_id", "hlo_module")) \
-                and "%" not in name:
+        if tids.get((ev["pid"], ev.get("tid"))) != "XLA Ops":
             continue
-        b = bucket_of(args.get("hlo_op", name))
-        dur = ev["dur"] / 1e3 / 3  # us -> ms, per-iter
-        buckets[b] = buckets.get(b, 0.0) + dur
-        key = (b, args.get("hlo_op", name).split(".")[0])
+        args = ev.get("args") or {}
+        cat = args.get("hlo_category", "?")
+        ln = args.get("long_name", "")
+        shape = re.search(r"= (\w+\[[0-9,]*\])", ln)
+        dur = ev["dur"] / 1e3 / 3  # us -> ms, per-iter (3 traced iters)
+        buckets[cat] = buckets.get(cat, 0.0) + dur
+        key = (cat, ev["name"].split(".")[0],
+               shape.group(1) if shape else "?")
         names[key] = names.get(key, 0.0) + dur
         total += dur
     print(f"impl={impl} total device {total:.1f} ms/iter")
     for b, ms in sorted(buckets.items(), key=lambda kv: -kv[1]):
-        print(f"  {b:22s} {ms:7.2f} ms")
-    top = sorted(names.items(), key=lambda kv: -kv[1])[:15]
-    print("top ops:")
-    for (b, name), ms in top:
-        print(f"  {ms:7.2f} ms  [{b}] {name}")
+        print(f"  {b:28s} {ms:7.2f} ms")
+    top = sorted(names.items(), key=lambda kv: -kv[1])[:25]
+    print("top ops (category, op, out shape):")
+    for (b, name, shape), ms in top:
+        print(f"  {ms:7.2f} ms  [{b}] {name} {shape}")
 
 
 if __name__ == "__main__":
