@@ -42,22 +42,31 @@ def main():
     cond = jnp.asarray(rng.randn(batch, 4, 256, 256).clip(-1, 1), jnp.float32)
     variables = jax.jit(gen.init)(jax.random.PRNGKey(0), z, c, cond)
 
-    configs = [("xla", "xla", None), ("auto", "auto", None),
-               ("auto_bo128", "auto", 128), ("auto2", "auto", None)]
+    from afcm_tpu.ops.pallas.filtered_lrelu_mxu import set_element_gather
+
+    # element first: if the Element-window Mosaic compile wedges the tunnel
+    # (it did once — docs/performance.md), the rest of the sweep is moot
+    # anyway, and running it first keeps the A/B loss bounded.
+    configs = [("auto_elem", "auto", None, True),
+               ("xla", "xla", None, False), ("auto", "auto", None, False),
+               ("auto_elem2", "auto", None, True),
+               ("auto2", "auto", None, False)]
     outs = {}
-    for name, impl, bo in configs:
+    for name, impl, bo, elem in configs:
         fl.set_default_impl(impl)
         fl.set_bo_align(bo)
+        set_element_gather(elem)
         fwd = jax.jit(lambda v, z, c, x: gen.apply(v, z, c, x))
         rate, out = bench(fwd, (variables, z, c, cond))
         outs[name] = np.asarray(out, np.float32)
         print(f"{name:11s}: {rate:6.2f} slices/s", flush=True)
     fl.set_default_impl("auto")
     fl.set_bo_align(None)
+    set_element_gather(False)
 
-    err = np.mean((outs["auto_bo128"] - outs["xla"]) ** 2)
+    err = np.mean((outs["auto_elem"] - outs["xla"]) ** 2)
     dr = outs["xla"].max() - outs["xla"].min()
-    print(f"bo128-vs-xla PSNR {10*np.log10(dr*dr/max(err,1e-12)):.1f} dB")
+    print(f"elem-vs-xla PSNR {10*np.log10(dr*dr/max(err,1e-12)):.1f} dB")
 
 
 if __name__ == "__main__":
