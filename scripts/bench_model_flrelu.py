@@ -44,13 +44,18 @@ def main():
 
     from afcm_tpu.ops.pallas.filtered_lrelu_mxu import set_element_gather
 
-    # element first: if the Element-window Mosaic compile wedges the tunnel
-    # (it did once — docs/performance.md), the rest of the sweep is moot
-    # anyway, and running it first keeps the A/B loss bounded.
-    configs = [("auto_elem", "auto", None, True),
-               ("xla", "xla", None, False), ("auto", "auto", None, False),
-               ("auto_elem2", "auto", None, True),
-               ("auto2", "auto", None, False)]
+    # The Element-window Mosaic compile wedged the axon tunnel for >2 h
+    # (docs/performance.md round 3) — it is OFF unless explicitly requested
+    # with AFCM_BENCH_ELEMENT=1, and then runs first so the A/B loss is
+    # bounded if it wedges again.
+    if os.environ.get("AFCM_BENCH_ELEMENT") == "1":
+        configs = [("auto_elem", "auto", None, True),
+                   ("xla", "xla", None, False), ("auto", "auto", None, False),
+                   ("auto_elem2", "auto", None, True),
+                   ("auto2", "auto", None, False)]
+    else:
+        configs = [("xla", "xla", None, False), ("auto", "auto", None, False),
+                   ("xla2", "xla", None, False), ("auto2", "auto", None, False)]
     outs = {}
     for name, impl, bo, elem in configs:
         fl.set_default_impl(impl)
@@ -64,9 +69,10 @@ def main():
     fl.set_bo_align(None)
     set_element_gather(False)
 
-    err = np.mean((outs["auto_elem"] - outs["xla"]) ** 2)
+    ref = outs.get("auto_elem", outs["auto"])
+    err = np.mean((ref - outs["xla"]) ** 2)
     dr = outs["xla"].max() - outs["xla"].min()
-    print(f"elem-vs-xla PSNR {10*np.log10(dr*dr/max(err,1e-12)):.1f} dB")
+    print(f"vs-xla PSNR {10*np.log10(dr*dr/max(err,1e-12)):.1f} dB")
 
 
 if __name__ == "__main__":
