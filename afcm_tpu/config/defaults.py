@@ -170,6 +170,11 @@ def get_default_cfg() -> CfgNode:
     c.tpu.conv_int8 = False
     c.tpu.conv_int8_variant = "dots"    # dots | im2col
     c.tpu.conv_int8_min_ch = 64         # channel floor for routing
+    # Serving pipeline depth: batches kept in flight across subject
+    # boundaries by StandardPredictor.run_pipelined — covers the host-side
+    # finalize/metrics/next-subject-load gap. Each slot holds one
+    # input+output batch on device (~8 MB at batch 16, 256^2).
+    c.tpu.pipeline_depth = 2
     return c
 
 

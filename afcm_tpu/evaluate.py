@@ -189,8 +189,14 @@ def main(argv=None):
 
     c_psnr, c_ssim, c_psnr_slice, c_ssim_slice = [], [], [], []
     with open(os.path.join(out_path, "evaluate.txt"), "a") as fw:
-        for test_loader in get_test_loaders(cfg):
-            predictor(test_loader)
+        # One continuous device stream across subjects: the next subject's
+        # batches are already in flight while this loop stitches, scores
+        # (PSNR/SSIM are host-side on a 1-core box) and queues writes for
+        # the previous one. Results are identical to serial per-subject
+        # prediction (overlap-add is order-independent).
+        for test_loader in predictor.run_pipelined(
+                get_test_loaders(cfg),
+                depth=getattr(cfg.tpu, "pipeline_depth", 2)):
             subject = os.path.basename(
                 test_loader.dataset.file_path).split(".")[0]
 

@@ -18,8 +18,10 @@ from __future__ import annotations
 import os
 import shutil
 import time
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, Optional, Sequence
+from types import SimpleNamespace
+from typing import Callable, Iterable, Optional, Sequence
 
 import numpy as np
 
@@ -81,8 +83,9 @@ class StandardPredictor:
                         "stitch": 0.0, "save": 0.0}
         self._writer: Optional[ThreadPoolExecutor] = None
         self._write_futures: list = []
-        # finalized head-0 volume of the most recent __call__ (numpy, float32)
+        # finalized head-0 volume of the most recent subject (numpy, float32)
         self.last_prediction: Optional[np.ndarray] = None
+        self._last_out_path: Optional[str] = None
 
     def __call__(self, test_loader) -> str:
         """Predict + stitch one subject; returns the head-0 NIfTI path.
@@ -92,96 +95,151 @@ class StandardPredictor:
         on disk after ``wait_for_writes()``. The stitched head-0 volume is
         immediately available in memory as ``self.last_prediction``.
         """
+        for _ in self.run_pipelined([test_loader]):
+            pass
+        return self._last_out_path
+
+    def run_pipelined(self, loaders: Iterable, depth: int = 2):
+        """Drive a sequence of subject loaders through ONE continuous
+        device stream; yields each subject's loader after its volume is
+        stitched (``self.last_prediction``) and its writes are queued.
+
+        Up to ``depth`` batches stay in flight (JAX dispatch is async; the
+        ``np.asarray`` fetch is the sync point), so the device keeps
+        working across subject boundaries — through the previous subject's
+        finalize/save, the next subject's h5 open + slice building, and
+        whatever per-subject host work the consumer does between yields.
+        The reference runs subjects strictly serially
+        (reference: evaluate.py:49-66); overlap-add stitching is
+        order-independent so the pipelined result is identical.
+        """
+        t = self.timings
+
+        def _stream():
+            for loader in loaders:
+                ctx = self._new_subject(loader)
+                for item in loader:
+                    yield ctx, item
+                yield ctx, None  # end-of-subject marker (FIFO => in order)
+
+        pending: deque = deque()
+        stream = _stream()
+        exhausted = False
+        while not exhausted or pending:
+            if not exhausted:
+                t0 = time.perf_counter()
+                nxt = next(stream, None)
+                t["load"] += time.perf_counter() - t0
+                if nxt is None:
+                    exhausted = True
+                else:
+                    ctx, item = nxt
+                    if item is None:
+                        pending.append((ctx, None))
+                    else:
+                        t1 = time.perf_counter()
+                        pending.append((ctx, self._dispatch(ctx, item)))
+                        t["dispatch"] += time.perf_counter() - t1
+                    if len(pending) <= depth:
+                        continue
+            ctx, entry = pending.popleft()
+            if entry is None:  # subject complete: every batch before the
+                t4 = time.perf_counter()      # marker has been fetched
+                self._finalize_subject(ctx)
+                t["save"] += time.perf_counter() - t4
+                yield ctx.loader
+            else:
+                self._fetch_and_stitch(ctx, entry)
+
+    def _new_subject(self, test_loader) -> SimpleNamespace:
+        """Allocate the per-subject stitching state."""
         dataset = test_loader.dataset
         volume_shape = self._volume_shape(dataset)
         if self.config is not None:
             self._validate_halo(self.patch_halo,
                                 dict(self.config.loaders.test.slice_builder))
-
         maps_shape = (self.out_channels,) + tuple(volume_shape)
         heads = self.output_heads
         # Head 1 (the reference's phantom ``pred_mask``) is by construction
-        # identical to head 0 (see per_head below) — it is never accumulated
-        # and its file is written as a copy of head 0's.
-        prediction_maps = [None if h == 1 else np.zeros(maps_shape, np.float32)
-                           for h in range(heads)]
-        normalization_masks = [None if h == 1 else np.zeros(maps_shape, np.uint16)
-                               for h in range(heads)]
+        # identical to head 0 (see _fetch_and_stitch) — it is never
+        # accumulated and its file is written as a copy of head 0's.
+        return SimpleNamespace(
+            loader=test_loader, dataset=dataset, volume_shape=volume_shape,
+            batch_size=test_loader.batch_size,
+            prediction_maps=[None if h == 1 else np.zeros(maps_shape,
+                                                          np.float32)
+                             for h in range(heads)],
+            normalization_masks=[None if h == 1 else np.zeros(maps_shape,
+                                                              np.uint16)
+                                 for h in range(heads)])
 
-        batch_size = test_loader.batch_size
+    def _dispatch(self, ctx, item):
+        a_batch, slice_idx, indices = item
+        n = a_batch.shape[0]
+        if n < ctx.batch_size:  # pad ragged tail to keep the jit shape static
+            pad = ctx.batch_size - n
+            a_batch = np.concatenate(
+                [a_batch, np.repeat(a_batch[-1:], pad, axis=0)], axis=0)
+            slice_idx = np.concatenate(
+                [slice_idx, np.repeat(slice_idx[-1:], pad, axis=0)], axis=0)
+        out = self.forward_fn(a_batch, slice_idx)
+        try:
+            # Start the device->host copy as soon as the (async-dispatched)
+            # forward finishes, so the later np.asarray fetch finds the
+            # bytes already streamed instead of paying transfer latency.
+            out.copy_to_host_async()
+        except AttributeError:  # non-jax forward_fn (tests) or old backend
+            pass
+        return out, a_batch, n, indices
 
-        # Double-buffered device pipeline: dispatch batch i+1 before fetching
-        # batch i's result, so host-side stitching and the device forward
-        # overlap (JAX dispatch is async; np.asarray is the sync point).
-        def _dispatch(item):
-            a_batch, slice_idx, indices = item
-            n = a_batch.shape[0]
-            if n < batch_size:  # pad ragged tail to keep the jit shape static
-                pad = batch_size - n
-                a_batch = np.concatenate(
-                    [a_batch, np.repeat(a_batch[-1:], pad, axis=0)], axis=0)
-                slice_idx = np.concatenate(
-                    [slice_idx, np.repeat(slice_idx[-1:], pad, axis=0)],
-                    axis=0)
-            return self.forward_fn(a_batch, slice_idx), a_batch, n, indices
-
+    def _fetch_and_stitch(self, ctx, entry):
+        out_dev, a_batch, n, indices = entry
         t = self.timings
-        it = iter(test_loader)
-        nxt = next(it, None)
-        pending = _dispatch(nxt) if nxt is not None else None
-        while pending is not None:
-            t0 = time.perf_counter()
-            nxt = next(it, None)
-            t1 = time.perf_counter()
-            t["load"] += t1 - t0
-            out_dev, a_batch, n, indices = pending
-            pending = _dispatch(nxt) if nxt is not None else None
-            t2 = time.perf_counter()
-            t["dispatch"] += t2 - t1
-            # bf16 fetch (tpu.fetch_dtype) arrives as ml_dtypes bfloat16;
-            # stitching accumulates float32 either way.
-            predictions = np.asarray(out_dev)[:n]
-            if predictions.dtype != np.float32:
-                predictions = predictions.astype(np.float32)
-            t3 = time.perf_counter()
-            t["fetch"] += t3 - t2
-            if predictions.ndim == 4:  # 2-D model output -> add depth axis
-                predictions = predictions[:, :, None]  # [N, C, 1, H, W]
+        t2 = time.perf_counter()
+        # bf16 fetch (tpu.fetch_dtype) arrives as ml_dtypes bfloat16;
+        # stitching accumulates float32 either way.
+        predictions = np.asarray(out_dev)[:n]
+        if predictions.dtype != np.float32:
+            predictions = predictions.astype(np.float32)
+        t3 = time.perf_counter()
+        t["fetch"] += t3 - t2
+        if predictions.ndim == 4:  # 2-D model output -> add depth axis
+            predictions = predictions[:, :, None]  # [N, C, 1, H, W]
 
-            # input head: the center slice of the 4-slice window
-            if a_batch.shape[1] > 1:
-                inputs = a_batch[:n, 1:2]
-            else:
-                inputs = a_batch[:n]
-            if a_batch.dtype == np.uint8:
-                # uint8-transfer loaders (TestLoader.norm_range) ship raw
-                # bytes; the written input head must match the float path.
-                lo, hi = test_loader.norm_range
-                inputs = np.clip(
-                    2 * ((inputs.astype(np.float32) - lo) / (hi - lo)) - 1,
-                    -1, 1)
-            inputs = inputs[:, :, None]
+        # input head: the center slice of the 4-slice window
+        if a_batch.shape[1] > 1:
+            inputs = a_batch[:n, 1:2]
+        else:
+            inputs = a_batch[:n]
+        if a_batch.dtype == np.uint8:
+            # uint8-transfer loaders (TestLoader.norm_range) ship raw
+            # bytes; the written input head must match the float path.
+            lo, hi = ctx.loader.norm_range
+            inputs = np.clip(
+                2 * ((inputs.astype(np.float32) - lo) / (hi - lo)) - 1,
+                -1, 1)
+        inputs = inputs[:, :, None]
 
-            per_head = [predictions, predictions, inputs][:heads]
-            for head, (pred_batch, pmap, nmask) in enumerate(zip(
-                    per_head, prediction_maps, normalization_masks)):
-                if pmap is None:  # head 1: written as a copy of head 0
-                    continue
-                if self._accumulate_native(pred_batch, indices, volume_shape,
-                                           pmap, nmask):
-                    continue
-                for pred, index in zip(pred_batch, indices):
-                    index = (slice(0, self.out_channels),) + tuple(index)
-                    u_pred, u_index = remove_halo(pred, index, volume_shape,
-                                                  self.patch_halo)
-                    pmap[u_index] += u_pred
-                    nmask[u_index] += 1
-            t["stitch"] += time.perf_counter() - t3
+        per_head = [predictions, predictions, inputs][:self.output_heads]
+        for pred_batch, pmap, nmask in zip(
+                per_head, ctx.prediction_maps, ctx.normalization_masks):
+            if pmap is None:  # head 1: written as a copy of head 0
+                continue
+            if self._accumulate_native(pred_batch, indices, ctx.volume_shape,
+                                       pmap, nmask):
+                continue
+            for pred, index in zip(pred_batch, indices):
+                index = (slice(0, self.out_channels),) + tuple(index)
+                u_pred, u_index = remove_halo(pred, index, ctx.volume_shape,
+                                              self.patch_halo)
+                pmap[u_index] += u_pred
+                nmask[u_index] += 1
+        t["stitch"] += time.perf_counter() - t3
 
-        t4 = time.perf_counter()
-        out = self._save_results(prediction_maps, normalization_masks, dataset)
-        t["save"] += time.perf_counter() - t4
-        return out
+    def _finalize_subject(self, ctx):
+        self._last_out_path = self._save_results(
+            ctx.prediction_maps, ctx.normalization_masks, ctx.dataset)
+        return self._last_out_path
 
     def _accumulate_native(self, pred_batch, indices, volume_shape, pmap,
                            nmask) -> bool:

@@ -121,6 +121,55 @@ def test_evaluate_bf16_fetch_parity(cfg, workdir):
     np.testing.assert_allclose(bf16_vol, float_vol, rtol=0, atol=4e-3)
 
 
+def test_run_pipelined_matches_serial(workdir, tmp_path):
+    """The cross-subject pipelined predictor stream (run_pipelined, depth>0,
+    batches of subject k+1 in flight during subject k's finalize) stitches
+    volumes identical to serial per-subject __call__, in subject order."""
+    from afcm_tpu.data import get_test_loaders
+    from afcm_tpu.infer import get_predictor
+
+    root = str(tmp_path / "multi")
+    write_demo_tree(root, n_train=1, n_val=1, n_test=3, depth=12, size=64)
+    cfg3 = setup(_Args(
+        os.path.join(REPO, "configs/demo/cmsr_tiny.yml"),
+        opts=["loaders.train.file_paths", f"['{root}/train']",
+              "loaders.val.file_paths", f"['{root}/val']",
+              "loaders.test.file_paths", f"['{root}/test']",
+              "checkpoints_dir", f"{tmp_path}/ckpt",
+              "loaders.batch_size", "5"]))  # ragged tails: 12 % 5 != 0
+
+    calls = []
+
+    def forward(a_batch, slice_idx):  # deterministic, batch-stateful
+        calls.append(a_batch.shape[0])
+        return (a_batch[:, 1:2] * 0.5
+                + np.float32(0.01) * slice_idx[:, :, None, None])
+
+    serial = get_predictor("StandardPredictor")(
+        forward, str(tmp_path / "out_serial"), cfg3)
+    vols_serial, names_serial = [], []
+    for loader in get_test_loaders(cfg3):
+        serial(loader)
+        vols_serial.append(serial.last_prediction.copy())
+        names_serial.append(os.path.basename(loader.dataset.file_path))
+    serial.wait_for_writes()
+
+    piped = get_predictor("StandardPredictor")(
+        forward, str(tmp_path / "out_piped"), cfg3)
+    vols_piped, names_piped = [], []
+    for loader in piped.run_pipelined(get_test_loaders(cfg3), depth=3):
+        vols_piped.append(piped.last_prediction.copy())
+        names_piped.append(os.path.basename(loader.dataset.file_path))
+    piped.wait_for_writes()
+
+    assert names_piped == names_serial and len(names_piped) == 3
+    for a, b in zip(vols_piped, vols_serial):
+        np.testing.assert_array_equal(a, b)
+    # the pipelined head files land on disk too
+    out = os.listdir(str(tmp_path / "out_piped"))
+    assert sum(f.endswith("_predictions0.nii.gz") for f in out) == 3
+
+
 def test_resume_restores_state(cfg, workdir):
     from afcm_tpu.models import build_gan_model
     from afcm_tpu.utils import checkpoint as ckpt

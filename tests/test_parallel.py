@@ -229,6 +229,7 @@ def test_sharded_predictor_matches_single_device(rng, tmp_path):
         fwd = make_forward_fn(model, state, mesh=mesh)
         pred = StandardPredictor(fwd, str(out_dir), None, patch_halo=(0, 0, 0))
         path = pred(_Loader())
+        pred.wait_for_writes()  # head files are write-behind
         vol, _ = read_nifti(path)
         return np.asarray(vol)
 
