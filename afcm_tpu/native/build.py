@@ -58,6 +58,14 @@ def get_native() -> Optional[ctypes.CDLL]:
                     f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p,
                     i32p, i32p]
                 lib.accumulate_patches.restype = None
+                f64p = ctypes.POINTER(ctypes.c_double)
+                lib.ssim_mean.argtypes = [
+                    f64p, f64p, ctypes.POINTER(ctypes.c_long), ctypes.c_int,
+                    ctypes.c_int, ctypes.c_double, ctypes.c_double,
+                    ctypes.c_double, f64p]
+                lib.ssim_mean.restype = None
+                lib.err_stats.argtypes = [f64p, f64p, ctypes.c_long, f64p]
+                lib.err_stats.restype = None
                 _lib = lib
         return _lib
 

@@ -82,3 +82,44 @@ def accumulate_patches(pmap: np.ndarray, nmask: np.ndarray,
         ch, cw = sizes[b]
         pmap[z, y0:y0 + ch, x0:x0 + cw] += patches[b, oy:oy + ch, ox:ox + cw]
         nmask[z, y0:y0 + ch, x0:x0 + cw] += 1
+
+
+def ssim_mean(x: np.ndarray, y: np.ndarray, win_size: int, c1: float,
+              c2: float, cov_norm: float):
+    """Fused native mean-SSIM (uniform window, reflect boundary, float64).
+
+    Returns the scalar mean of the SSIM map over the win//2-cropped
+    interior, or None when the native library is unavailable (callers fall
+    back to the numpy path in utils/metrics.py, which this matches to
+    ~1e-12).
+    """
+    lib = get_native()
+    if lib is None or x.ndim > 4 or win_size % 2 != 1 \
+            or min(x.shape) < win_size:
+        return None
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    dims = np.asarray(x.shape, dtype=np.int64)
+    out = np.zeros((1,), np.float64)
+    lib.ssim_mean(_ptr(x, ctypes.c_double), _ptr(y, ctypes.c_double),
+                  _ptr(dims, ctypes.c_long), x.ndim, win_size,
+                  ctypes.c_double(c1), ctypes.c_double(c2),
+                  ctypes.c_double(cov_norm),
+                  _ptr(out, ctypes.c_double))
+    return float(out[0])
+
+
+def err_stats(a: np.ndarray, b: np.ndarray):
+    """(mse, mae) of two same-shape arrays in one native float64 pass, or
+    None when the native library is unavailable."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    lib = get_native()
+    if lib is None or a.shape != b.shape:  # numpy path broadcasts; we don't
+        return None
+    a = np.ascontiguousarray(a, dtype=np.float64)
+    b = np.ascontiguousarray(b, dtype=np.float64)
+    out = np.zeros((2,), np.float64)
+    lib.err_stats(_ptr(a, ctypes.c_double), _ptr(b, ctypes.c_double),
+                  a.size, _ptr(out, ctypes.c_double))
+    return float(out[0]), float(out[1])

@@ -14,6 +14,7 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <vector>
 
 extern "C" {
 
@@ -73,6 +74,155 @@ void accumulate_patches(float* pmap, uint16_t* nmask, int depth, int height,
             }
         }
     }
+}
+
+// ---- fused SSIM (skimage structural_similarity semantics) ------------------
+//
+// Box-filters the five moment fields (x, y, x*x, y*y, x*y) with a uniform
+// window (scipy.ndimage.uniform_filter, mode='reflect') along every axis,
+// then reduces the SSIM map over the win//2-cropped interior. float64
+// throughout — numerically matches afcm_tpu/utils/metrics.py ssim()
+// (reference: util/evaluation.py via skimage) to ~1e-12; the win is doing
+// it in 16 fused streaming passes instead of ~30 temporary-allocating numpy
+// ops on this 1-core host (measured 7.9 s -> <1 s on a 64x256x256 volume).
+
+namespace {
+
+// scipy mode='reflect': (d c b a | a b c d | d c b a) — edge duplicated.
+inline long reflect_index(long j, long n) {
+    if (n == 1) return 0;
+    const long period = 2 * n;
+    j %= period;
+    if (j < 0) j += period;
+    return j < n ? j : period - 1 - j;
+}
+
+// Uniform filter along `axis` of a C-contiguous [dims[0], ..] array,
+// src -> dst (distinct buffers). Odd `win` (centered window), reflect pad.
+void box_filter_axis(const double* src, double* dst, const long* dims,
+                     int nd, int axis, int win) {
+    long n = dims[axis];
+    long inner = 1;
+    for (int a = axis + 1; a < nd; ++a) inner *= dims[a];
+    long outer = 1;
+    for (int a = 0; a < axis; ++a) outer *= dims[a];
+    const int pad = win / 2;
+    const double inv = 1.0 / win;
+
+    if (inner == 1) {
+        // contiguous (last) axis: per-line reflect-padded temp + moving sum
+        std::vector<double> tmp(n + 2 * pad);
+        for (long o = 0; o < outer; ++o) {
+            const double* line = src + o * n;
+            double* out = dst + o * n;
+            for (long i = -pad; i < n + pad; ++i)
+                tmp[i + pad] = line[reflect_index(i, n)];
+            double s = 0.0;
+            for (int k = 0; k < win; ++k) s += tmp[k];
+            out[0] = s * inv;
+            for (long i = 1; i < n; ++i) {
+                s += tmp[i + win - 1] - tmp[i - 1];
+                out[i] = s * inv;
+            }
+        }
+        return;
+    }
+
+    // non-last axis: vectorize the moving sum across the `inner` columns
+    std::vector<double> sums(inner);
+    for (long o = 0; o < outer; ++o) {
+        const double* base = src + o * n * inner;
+        double* out = dst + o * n * inner;
+        std::fill(sums.begin(), sums.end(), 0.0);
+        for (long j = -pad; j <= pad; ++j) {
+            const double* row = base + reflect_index(j, n) * inner;
+            for (long c = 0; c < inner; ++c) sums[c] += row[c];
+        }
+        for (long c = 0; c < inner; ++c) out[c] = sums[c] * inv;
+        for (long i = 1; i < n; ++i) {
+            const double* add = base + reflect_index(i + pad, n) * inner;
+            const double* sub = base + reflect_index(i - 1 - pad, n) * inner;
+            double* orow = out + i * inner;
+            for (long c = 0; c < inner; ++c) {
+                sums[c] += add[c] - sub[c];
+                orow[c] = sums[c] * inv;
+            }
+        }
+    }
+}
+
+}  // namespace
+
+// x / y: C-contiguous float64 arrays of shape dims[0..nd-1] (nd <= 4).
+// Writes mean(SSIM map over the pad-cropped interior) to *out_mean.
+void ssim_mean(const double* x, const double* y, const long* dims, int nd,
+               int win, double c1, double c2, double cov_norm,
+               double* out_mean) {
+    long total = 1;
+    for (int a = 0; a < nd; ++a) total *= dims[a];
+
+    // five moment fields + one scratch for the out-of-place axis passes
+    std::vector<double> ux(x, x + total), uy(y, y + total);
+    std::vector<double> uxx(total), uyy(total), uxy(total), scratch(total);
+    for (long i = 0; i < total; ++i) {
+        uxx[i] = x[i] * x[i];
+        uyy[i] = y[i] * y[i];
+        uxy[i] = x[i] * y[i];
+    }
+    double* fields[5] = {ux.data(), uy.data(), uxx.data(), uyy.data(),
+                         uxy.data()};
+    for (int axis = 0; axis < nd; ++axis) {
+        for (double*& f : fields) {
+            box_filter_axis(f, scratch.data(), dims, nd, axis, win);
+            std::swap_ranges(scratch.begin(), scratch.end(), f);
+        }
+    }
+
+    // mean of the SSIM map over the interior [pad, dim-pad) box
+    const int pad = (win - 1) / 2;
+    long lo[4] = {0, 0, 0, 0}, hi[4] = {1, 1, 1, 1};
+    for (int a = 0; a < nd; ++a) { lo[a] = pad; hi[a] = dims[a] - pad; }
+    long strides[4] = {0, 0, 0, 0};
+    strides[nd - 1] = 1;
+    for (int a = nd - 2; a >= 0; --a) strides[a] = strides[a + 1] * dims[a + 1];
+
+    long double acc = 0.0L;
+    long count = 0;
+    for (long i0 = lo[0]; i0 < hi[0]; ++i0)
+        for (long i1 = (nd > 1 ? lo[1] : 0); i1 < (nd > 1 ? hi[1] : 1); ++i1)
+            for (long i2 = (nd > 2 ? lo[2] : 0); i2 < (nd > 2 ? hi[2] : 1); ++i2)
+                for (long i3 = (nd > 3 ? lo[3] : 0); i3 < (nd > 3 ? hi[3] : 1);
+                     ++i3) {
+                    const long idx = i0 * strides[0] +
+                                     (nd > 1 ? i1 * strides[1] : 0) +
+                                     (nd > 2 ? i2 * strides[2] : 0) +
+                                     (nd > 3 ? i3 * strides[3] : 0);
+                    const double mx = ux[idx], my = uy[idx];
+                    const double vx = cov_norm * (uxx[idx] - mx * mx);
+                    const double vy = cov_norm * (uyy[idx] - my * my);
+                    const double vxy = cov_norm * (uxy[idx] - mx * my);
+                    const double a1 = 2.0 * mx * my + c1;
+                    const double a2 = 2.0 * vxy + c2;
+                    const double b1 = mx * mx + my * my + c1;
+                    const double b2 = vx + vy + c2;
+                    acc += (a1 * a2) / (b1 * b2);
+                    ++count;
+                }
+    *out_mean = static_cast<double>(acc / count);
+}
+
+// One pass over two float64 arrays: writes {mean((a-b)^2), mean(|a-b|)} —
+// the PSNR and MAE moments (utils/metrics.py psnr/mae) without numpy's
+// temporary allocations.
+void err_stats(const double* a, const double* b, long n, double* out2) {
+    long double sq = 0.0L, ab = 0.0L;
+    for (long i = 0; i < n; ++i) {
+        const double d = a[i] - b[i];
+        sq += d * d;
+        ab += d < 0 ? -d : d;
+    }
+    out2[0] = static_cast<double>(sq / n);
+    out2[1] = static_cast<double>(ab / n);
 }
 
 }  // extern "C"

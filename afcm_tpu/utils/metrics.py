@@ -32,8 +32,19 @@ def psnr(im_true: np.ndarray, im_test: np.ndarray,
     im_test = np.asarray(im_test)
     if data_range is None:
         data_range = _default_data_range(im_true)
-    err = np.mean((im_true.astype(np.float64) - im_test.astype(np.float64)) ** 2)
+    err = _mse(im_true, im_test)
     return float(10 * np.log10((data_range ** 2) / err))
+
+
+def _mse(a, b):
+    # returns an np.float64 so psnr's divide yields inf (not a Python
+    # ZeroDivisionError) on identical inputs, like the original np.mean path
+    from ..native import err_stats
+    got = err_stats(a, b)
+    if got is not None:
+        return np.float64(got[0])
+    return np.mean((np.asarray(a, np.float64) -
+                    np.asarray(b, np.float64)) ** 2)
 
 
 def ssim(im_true: np.ndarray, im_test: np.ndarray,
@@ -48,6 +59,17 @@ def ssim(im_true: np.ndarray, im_test: np.ndarray,
     ndim = x.ndim
     np_win = win_size ** ndim
     cov_norm = np_win / (np_win - 1)
+
+    # Fused native path (afcm_tpu/native/window_ops.cpp:ssim_mean): same
+    # uniform-filter/reflect/sample-covariance math in one C++ sweep —
+    # ~10x the numpy composition on this 1-core host (the numpy path below
+    # is the semantic oracle and the fallback; parity ~1e-12, pinned by
+    # tests/test_native.py).
+    from ..native import ssim_mean as _native_ssim
+    got = _native_ssim(x, y, win_size, (k1 * data_range) ** 2,
+                       (k2 * data_range) ** 2, cov_norm)
+    if got is not None:
+        return got
 
     filt = lambda im: uniform_filter(im, size=win_size)
     ux, uy = filt(x), filt(y)
@@ -68,6 +90,10 @@ def ssim(im_true: np.ndarray, im_test: np.ndarray,
 
 
 def mae(a, b) -> float:
+    from ..native import err_stats
+    got = err_stats(a, b)
+    if got is not None:
+        return got[1]
     return float(np.mean(np.abs(np.asarray(a, np.float64) -
                                 np.asarray(b, np.float64))))
 

@@ -107,3 +107,46 @@ def test_accumulate_patches_matches_fallback(rng, monkeypatch):
     np.testing.assert_allclose(pmap1, pmap2, atol=1e-6)
     np.testing.assert_array_equal(nmask1, nmask2)
     assert nmask1.max() >= 2  # overlapping region accumulated twice
+
+
+def test_native_ssim_matches_numpy_oracle(rng, monkeypatch):
+    """The fused C++ ssim_mean matches the scipy/numpy composition (the
+    skimage-semantics oracle in utils/metrics.py) to float64 epsilon, for
+    2-D slices and 3-D volumes, smooth and noisy pairs."""
+    from afcm_tpu.utils import metrics
+    from afcm_tpu import native
+
+    def numpy_ssim(x, y, **kw):
+        monkeypatch.setattr("afcm_tpu.native.ops.get_native", lambda: None)
+        try:
+            return metrics.ssim(x, y, **kw)
+        finally:
+            monkeypatch.undo()
+
+    for shape in [(16, 64, 64), (64, 64), (9, 11), (8, 9, 10)]:
+        x = rng.rand(*shape)
+        y = np.clip(x + 0.1 * rng.randn(*shape), 0, 1)
+        want = numpy_ssim(x, y)
+        got = metrics.ssim(x, y)
+        assert abs(got - want) < 1e-12, (shape, got, want)
+        # non-default window + data_range
+        want5 = numpy_ssim(x, y, win_size=5, data_range=1.0)
+        got5 = metrics.ssim(x, y, win_size=5, data_range=1.0)
+        assert abs(got5 - want5) < 1e-12
+    # identical inputs -> exactly 1 (both paths)
+    x = rng.rand(12, 32, 32)
+    assert metrics.ssim(x, x.copy()) == pytest.approx(1.0, abs=1e-12)
+    # fallback gates: even window / tiny dims return None from native
+    assert native.ssim_mean(np.zeros((4, 4)), np.zeros((4, 4)),
+                            7, 1e-4, 9e-4, 1.02) is None
+
+
+def test_native_err_stats_matches_numpy(rng, monkeypatch):
+    from afcm_tpu.utils import metrics
+    a = rng.rand(16, 64, 64)
+    b = np.clip(a + 0.1 * rng.randn(*a.shape), 0, 1)
+    got_psnr, got_mae = metrics.psnr(a, b), metrics.mae(a, b)
+    monkeypatch.setattr("afcm_tpu.native.ops.get_native", lambda: None)
+    want_psnr, want_mae = metrics.psnr(a, b), metrics.mae(a, b)
+    assert abs(got_psnr - want_psnr) < 1e-10
+    assert abs(got_mae - want_mae) < 1e-14
