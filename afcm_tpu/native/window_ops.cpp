@@ -171,10 +171,11 @@ void ssim_mean(const double* x, const double* y, const long* dims, int nd,
     }
     double* fields[5] = {ux.data(), uy.data(), uxx.data(), uyy.data(),
                          uxy.data()};
+    double* spare = scratch.data();
     for (int axis = 0; axis < nd; ++axis) {
         for (double*& f : fields) {
-            box_filter_axis(f, scratch.data(), dims, nd, axis, win);
-            std::swap_ranges(scratch.begin(), scratch.end(), f);
+            box_filter_axis(f, spare, dims, nd, axis, win);
+            std::swap(f, spare);  // rotate buffers instead of copying back
         }
     }
 
@@ -197,10 +198,10 @@ void ssim_mean(const double* x, const double* y, const long* dims, int nd,
                                      (nd > 1 ? i1 * strides[1] : 0) +
                                      (nd > 2 ? i2 * strides[2] : 0) +
                                      (nd > 3 ? i3 * strides[3] : 0);
-                    const double mx = ux[idx], my = uy[idx];
-                    const double vx = cov_norm * (uxx[idx] - mx * mx);
-                    const double vy = cov_norm * (uyy[idx] - my * my);
-                    const double vxy = cov_norm * (uxy[idx] - mx * my);
+                    const double mx = fields[0][idx], my = fields[1][idx];
+                    const double vx = cov_norm * (fields[2][idx] - mx * mx);
+                    const double vy = cov_norm * (fields[3][idx] - my * my);
+                    const double vxy = cov_norm * (fields[4][idx] - mx * my);
                     const double a1 = 2.0 * mx * my + c1;
                     const double a2 = 2.0 * vxy + c2;
                     const double b1 = mx * mx + my * my + c1;
