@@ -172,8 +172,10 @@ def get_default_cfg() -> CfgNode:
     c.tpu.conv_int8_min_ch = 64         # channel floor for routing
     # Serving pipeline depth: batches kept in flight across subject
     # boundaries by StandardPredictor.run_pipelined — covers the host-side
-    # finalize/metrics/next-subject-load gap. Each slot holds one
-    # input+output batch on device (~8 MB at batch 16, 256^2).
+    # finalize/metrics/next-subject-load gap. Peak device footprint is
+    # depth+1 slots (one extra between a dispatch and its paired fetch);
+    # each slot holds one input+output batch (~8 MB at batch 16, 256^2).
+    # 0 disables pipelining (strictly serial batches).
     c.tpu.pipeline_depth = 2
     return c
 

@@ -194,9 +194,8 @@ def main(argv=None):
         # (PSNR/SSIM are host-side on a 1-core box) and queues writes for
         # the previous one. Results are identical to serial per-subject
         # prediction (overlap-add is order-independent).
-        for test_loader in predictor.run_pipelined(
-                get_test_loaders(cfg),
-                depth=getattr(cfg.tpu, "pipeline_depth", 2)):
+        # (depth comes from cfg.tpu.pipeline_depth via the predictor's config)
+        for test_loader in predictor.run_pipelined(get_test_loaders(cfg)):
             subject = os.path.basename(
                 test_loader.dataset.file_path).split(".")[0]
 

@@ -99,20 +99,25 @@ class StandardPredictor:
             pass
         return self._last_out_path
 
-    def run_pipelined(self, loaders: Iterable, depth: int = 2):
+    def run_pipelined(self, loaders: Iterable, depth: Optional[int] = None):
         """Drive a sequence of subject loaders through ONE continuous
         device stream; yields each subject's loader after its volume is
         stitched (``self.last_prediction``) and its writes are queued.
 
-        Up to ``depth`` batches stay in flight (JAX dispatch is async; the
-        ``np.asarray`` fetch is the sync point), so the device keeps
-        working across subject boundaries — through the previous subject's
-        finalize/save, the next subject's h5 open + slice building, and
-        whatever per-subject host work the consumer does between yields.
+        ``depth`` batches stay in flight after every fetch (depth+1
+        transiently between a dispatch and the paired fetch; JAX dispatch
+        is async and the ``np.asarray`` fetch is the sync point), so the
+        device keeps working across subject boundaries — through the
+        previous subject's finalize/save, the next subject's h5 open +
+        slice building, and whatever per-subject host work the consumer
+        does between yields. ``depth=None`` reads ``tpu.pipeline_depth``
+        from the predictor's config (default 2); 0 disables pipelining.
         The reference runs subjects strictly serially
         (reference: evaluate.py:49-66); overlap-add stitching is
         order-independent so the pipelined result is identical.
         """
+        if depth is None:
+            depth = self._config_depth()
         t = self.timings
 
         def _stream():
@@ -125,6 +130,7 @@ class StandardPredictor:
         pending: deque = deque()
         stream = _stream()
         exhausted = False
+        in_flight = 0  # real (non-marker) batches dispatched but not fetched
         while not exhausted or pending:
             if not exhausted:
                 t0 = time.perf_counter()
@@ -132,24 +138,33 @@ class StandardPredictor:
                 t["load"] += time.perf_counter() - t0
                 if nxt is None:
                     exhausted = True
+                    continue  # drain loop below takes over
+                ctx, item = nxt
+                if item is None:
+                    pending.append((ctx, None))
                 else:
-                    ctx, item = nxt
-                    if item is None:
-                        pending.append((ctx, None))
-                    else:
-                        t1 = time.perf_counter()
-                        pending.append((ctx, self._dispatch(ctx, item)))
-                        t["dispatch"] += time.perf_counter() - t1
-                    if len(pending) <= depth:
-                        continue
-            ctx, entry = pending.popleft()
-            if entry is None:  # subject complete: every batch before the
-                t4 = time.perf_counter()      # marker has been fetched
-                self._finalize_subject(ctx)
+                    t1 = time.perf_counter()
+                    pending.append((ctx, self._dispatch(ctx, item)))
+                    in_flight += 1
+                    t["dispatch"] += time.perf_counter() - t1
+            # Finalize any subject whose last batch has been fetched
+            # (markers never count against depth — they hold no device work).
+            while pending and pending[0][1] is None:
+                mctx, _ = pending.popleft()
+                t4 = time.perf_counter()
+                self._finalize_subject(mctx)
                 t["save"] += time.perf_counter() - t4
-                yield ctx.loader
-            else:
+                yield mctx.loader
+            if pending and (in_flight > depth or exhausted):
+                ctx, entry = pending.popleft()
+                in_flight -= 1
                 self._fetch_and_stitch(ctx, entry)
+
+    def _config_depth(self) -> int:
+        try:
+            return int(self.config.tpu.pipeline_depth)
+        except (AttributeError, TypeError):
+            return 2
 
     def _new_subject(self, test_loader) -> SimpleNamespace:
         """Allocate the per-subject stitching state."""

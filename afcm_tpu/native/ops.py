@@ -93,9 +93,11 @@ def ssim_mean(x: np.ndarray, y: np.ndarray, win_size: int, c1: float,
     back to the numpy path in utils/metrics.py, which this matches to
     ~1e-12).
     """
+    x = np.asarray(x)
+    y = np.asarray(y)
     lib = get_native()
-    if lib is None or x.ndim > 4 or win_size % 2 != 1 \
-            or min(x.shape) < win_size:
+    if lib is None or x.shape != y.shape or x.ndim > 4 \
+            or win_size % 2 != 1 or min(x.shape) < win_size:
         return None
     x = np.ascontiguousarray(x, dtype=np.float64)
     y = np.ascontiguousarray(y, dtype=np.float64)

@@ -36,15 +36,20 @@ def psnr(im_true: np.ndarray, im_test: np.ndarray,
     return float(10 * np.log10((data_range ** 2) / err))
 
 
-def _mse(a, b):
-    # returns an np.float64 so psnr's divide yields inf (not a Python
-    # ZeroDivisionError) on identical inputs, like the original np.mean path
+def _err_moments(a, b):
+    """(mse, mae) as np.float64 scalars — np.float64 so psnr's divide
+    yields inf (not a Python ZeroDivisionError) on identical inputs, like
+    the original np.mean path. One fused native pass when available."""
     from ..native import err_stats
     got = err_stats(a, b)
     if got is not None:
-        return np.float64(got[0])
-    return np.mean((np.asarray(a, np.float64) -
-                    np.asarray(b, np.float64)) ** 2)
+        return np.float64(got[0]), np.float64(got[1])
+    d = np.asarray(a, np.float64) - np.asarray(b, np.float64)
+    return np.mean(d * d), np.mean(np.abs(d))
+
+
+def _mse(a, b):
+    return _err_moments(a, b)[0]
 
 
 def ssim(im_true: np.ndarray, im_test: np.ndarray,
@@ -90,12 +95,7 @@ def ssim(im_true: np.ndarray, im_test: np.ndarray,
 
 
 def mae(a, b) -> float:
-    from ..native import err_stats
-    got = err_stats(a, b)
-    if got is not None:
-        return got[1]
-    return float(np.mean(np.abs(np.asarray(a, np.float64) -
-                                np.asarray(b, np.float64))))
+    return float(_err_moments(a, b)[1])
 
 
 # -- reference evaluate_* API (util/evaluation.py) ---------------------------
@@ -129,8 +129,12 @@ def evaluate_2D(g_img, l_img) -> Optional[Tuple[float, float, float]]:
 
 def evaluate_3D(g_img, l_img) -> Tuple[float, float, float]:
     """(reference: evaluation.py:123-127)"""
-    return (psnr(l_img, g_img), ssim(np.asarray(l_img), np.asarray(g_img)),
-            mae(l_img, g_img))
+    l_img = np.asarray(l_img)
+    g_img = np.asarray(g_img)
+    mse_v, mae_v = _err_moments(l_img, g_img)  # one fused pass for both
+    data_range = _default_data_range(l_img)
+    return (float(10 * np.log10((data_range ** 2) / mse_v)),
+            ssim(l_img, g_img), float(mae_v))
 
 
 def threed_psnr(g_img, l_img) -> float:

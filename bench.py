@@ -19,11 +19,30 @@ target is 250 and vs_baseline = value / 250.
 """
 
 import json
+import os
+import signal
 import sys
 import time
 
 A100_ESTIMATE_SLICES_PER_SEC = 50.0  # FLOP-derived band 43-72; BASELINE.md
 TARGET = 5.0 * A100_ESTIMATE_SLICES_PER_SEC
+
+# The axon tunnel can wedge (jit dispatches hang indefinitely — observed
+# round 3, docs/performance.md). A hung benchmark records nothing; fail
+# loudly with a diagnostic JSON instead. 30 min >> the ~5 min a healthy
+# full run takes including cold compiles.
+WATCHDOG_SECS = int(os.environ.get("AFCM_BENCH_WATCHDOG", "1800"))
+
+
+def _watchdog(signum, frame):
+    print(json.dumps({
+        "metric": "256^2 MR slices/sec/chip (CMSR G_ema forward)",
+        "value": 0.0, "unit": "slices/sec/chip", "vs_baseline": 0.0,
+        "detail": {"error": f"TPU unresponsive: no completion within "
+                            f"{WATCHDOG_SECS}s (axon tunnel wedge; see "
+                            f"docs/performance.md round-3 ops note)"},
+    }), flush=True)
+    os._exit(2)
 
 
 def _make_gen(compute_dtype):
@@ -39,6 +58,9 @@ def _make_gen(compute_dtype):
 
 
 def main():
+    if WATCHDOG_SECS > 0 and hasattr(signal, "SIGALRM"):
+        signal.signal(signal.SIGALRM, _watchdog)
+        signal.alarm(WATCHDOG_SECS)
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -79,6 +101,8 @@ def main():
 
     # Headline: bf16 (output drift vs fp32 measured at 56 dB PSNR — far
     # inside the 0.1 dB parity budget; see BASELINE.md).
+    if hasattr(signal, "SIGALRM"):
+        signal.alarm(0)
     best = max((v for v in results.values() if isinstance(v, float)),
                default=0.0)
     print(json.dumps({

@@ -169,6 +169,17 @@ def test_run_pipelined_matches_serial(workdir, tmp_path):
     out = os.listdir(str(tmp_path / "out_piped"))
     assert sum(f.endswith("_predictions0.nii.gz") for f in out) == 3
 
+    # depth=0 (pipelining disabled) must drain cleanly at end of stream
+    # and still match (regression: IndexError on the empty deque)
+    d0 = get_predictor("StandardPredictor")(
+        forward, str(tmp_path / "out_d0"), cfg3)
+    vols_d0 = [d0.last_prediction.copy()
+               for _ in d0.run_pipelined(get_test_loaders(cfg3), depth=0)]
+    d0.wait_for_writes()
+    assert len(vols_d0) == 3
+    for a, b in zip(vols_d0, vols_serial):
+        np.testing.assert_array_equal(a, b)
+
 
 def test_resume_restores_state(cfg, workdir):
     from afcm_tpu.models import build_gan_model
