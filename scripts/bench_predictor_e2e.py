@@ -6,7 +6,7 @@ This measures what a deployment sees — the G_ema forward rate (bench.py)
 minus the stitching/IO overhead of the real pipeline.
 
     python scripts/bench_predictor_e2e.py [n_subjects] [uint8|float32] \
-        [fetch_dtype]
+        [fetch_dtype] [pipeline_depth]
 
 Prints slices/s end-to-end and the ratio vs the pure-forward bench.
 """
@@ -33,6 +33,7 @@ def main():
     n_subjects = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     transfer = sys.argv[2] if len(sys.argv) > 2 else "uint8"
     fetch = sys.argv[3] if len(sys.argv) > 3 else "float32"
+    depth = sys.argv[4] if len(sys.argv) > 4 else "2"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     work = "/tmp/bench_predictor_e2e"
     os.makedirs(work, exist_ok=True)
@@ -54,7 +55,8 @@ def main():
          "checkpoints_dir", os.path.join(work, "ckpt"),
          "tpu.compute_dtype", "bfloat16",
          "tpu.transfer_dtype", transfer,
-         "tpu.fetch_dtype", fetch]))
+         "tpu.fetch_dtype", fetch,
+         "tpu.pipeline_depth", depth]))
 
     from afcm_tpu.models import build_gan_model
     from afcm_tpu.evaluate import make_forward_fn
