@@ -156,11 +156,17 @@ def test_run_pipelined_matches_serial(workdir, tmp_path):
 
     piped = get_predictor("StandardPredictor")(
         forward, str(tmp_path / "out_piped"), cfg3)
-    vols_piped, names_piped = [], []
+    calls.clear()
+    vols_piped, names_piped, calls_at_yield = [], [], []
     for loader in piped.run_pipelined(get_test_loaders(cfg3), depth=3):
+        calls_at_yield.append(len(calls))
         vols_piped.append(piped.last_prediction.copy())
         names_piped.append(os.path.basename(loader.dataset.file_path))
     piped.wait_for_writes()
+    # Overlap proof: when subject 1 finalizes (12 slices = 3 batches of 5),
+    # subject 2's batches must already be dispatched (depth=3 keeps the
+    # device fed across the boundary). Serially this would be 3.
+    assert calls_at_yield[0] > 3, calls_at_yield
 
     assert names_piped == names_serial and len(names_piped) == 3
     for a, b in zip(vols_piped, vols_serial):
