@@ -203,3 +203,29 @@ def test_transformer_shared_seed():
     a = tr.raw_transform()(x.copy())
     b = tr.raw_transform()(x.copy())
     np.testing.assert_array_equal(a, b)  # same seed -> same flips
+
+
+def test_template_dataset_contract():
+    """The template plugin (docs-by-example) must satisfy the dataset
+    contract end to end: registry dispatch, per-item keys/shapes, and
+    TrainLoader batching (reference: data/template_dataset.py)."""
+    from afcm_tpu.data.loader import create_dataset
+    cfg = {"dataset_mode": "template", "slice_num": 4,
+           "train": {"slice_builder": {"patch_shape": [1, 64, 64]}}}
+    ds = create_dataset(cfg, "train")
+    assert len(ds) == 16
+    item = ds.get_item(0)
+    assert item["A"].shape == (4, 64, 64) and item["A"].dtype == np.float32
+    assert item["B"].shape == (1, 64, 64)
+    # deterministic: the same index yields the same sample
+    np.testing.assert_array_equal(item["A"], ds.get_item(0)["A"])
+
+    loader = TrainLoader(ds, batch_size=4, shuffle=True, seed=0, prefetch=0)
+    batches = list(loader)
+    assert len(batches) == 4
+    assert batches[0]["A"].shape == (4, 4, 64, 64)
+    assert batches[0]["B"].shape == (4, 1, 64, 64)
+
+    # test phase: smaller split, same contract
+    ds_test = create_dataset(cfg, "test")
+    assert len(ds_test) == 4
