@@ -1,0 +1,180 @@
+"""AOT serving export: serialize the jitted EMA inference step into a
+self-contained artifact (StableHLO via ``jax.export``) that a serving
+process deserializes and calls — no model code, config tree, or checkpoint
+loading on the serving side, and no re-trace.
+
+The exported function is the full evaluation step the predictor drives:
+optional uint8 ingest + in-graph normalization (``tpu.transfer_dtype``),
+fresh per-batch z from a folded-in call counter (the reference protocol —
+reference: models/comodgan_model.py:101-108), EMA generator forward with
+const noise, optional reduced-precision fetch (``tpu.fetch_dtype``).
+Weights ride inside the artifact as constants, like a saved serving
+binary. The PyTorch reference has no counterpart — its deployment story
+re-instantiates the module tree and state_dict every time
+(reference: models/base_model.py:162-199).
+
+CLI (mirrors the evaluate CLI; writes <run_dir>/serving.hlo by default):
+
+    python -m afcm_tpu.infer.export --config-file configs/adni/stylegan3/cmsr.yml \
+        [--output serving.hlo] [epoch latest] [key value ...]
+
+Serving side:
+
+    from afcm_tpu.infer.export import serving_forward
+    forward = serving_forward("serving.hlo")        # (a, slice_idx) -> fake_B
+    predictor = StandardPredictor(forward, out_dir, cfg)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def make_eval_fn(model, state, *, norm_range=None, fetch_dtype=None,
+                 seed: int = 0):
+    """The serving computation: ``fn(a, slice_idx, counter) -> fake_B``.
+
+    ``state`` is closed over (weights become artifact constants).
+    ``counter`` is the per-call batch index; z is drawn from
+    ``fold_in(PRNGKey(seed), counter)`` so a given evaluation stream is
+    reproducible while every batch still sees fresh z (the same discipline
+    as evaluate.make_forward_fn)."""
+    out_dt = (jnp.dtype(fetch_dtype)
+              if fetch_dtype not in (None, "float32") else None)
+    lo_hi = None
+    if norm_range is not None:
+        lo_hi = (float(norm_range[0]), float(norm_range[1]))
+
+    def fn(a, slice_idx, counter):
+        if lo_hi is not None:
+            lo, hi = lo_hi
+            a = jnp.clip(2 * ((a.astype(jnp.float32) - lo) / (hi - lo)) - 1,
+                         -1, 1)
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), counter)
+        out = model.eval_step(state, a, slice_idx, key)
+        return out.astype(out_dt) if out_dt is not None else out
+
+    return fn
+
+
+def export_eval(model, state, batch_size: int, img_shape: Sequence[int], *,
+                norm_range=None, fetch_dtype=None, seed: int = 0,
+                platforms: Optional[Sequence[str]] = None):
+    """Export the EMA eval step for fixed ``batch_size`` (the predictor pads
+    ragged tails to the loader batch size, so one static shape serves the
+    whole volume stream).
+
+    ``img_shape`` is the conditioning-window shape (C, H, W). With
+    ``norm_range`` the artifact ingests uint8 patches and normalizes
+    in-graph; otherwise float32 in [-1, 1].
+
+    The trace forces ``filtered_lrelu``/``upfirdn2d`` onto their pure-XLA
+    implementations: Mosaic custom-calls would pin the artifact to one
+    TPU toolchain generation, and the measured in-model routing win is
+    neutral (docs/performance.md round 3), so portability costs nothing.
+    """
+    import importlib
+    # importlib, not `from ..ops import filtered_lrelu`: the package exports
+    # functions with the submodules' names, which shadow attribute imports.
+    _fl = importlib.import_module("afcm_tpu.ops.filtered_lrelu")
+    _uf = importlib.import_module("afcm_tpu.ops.upfirdn2d")
+
+    fn = make_eval_fn(model, state, norm_range=norm_range,
+                      fetch_dtype=fetch_dtype, seed=seed)
+    a_dt = jnp.uint8 if norm_range is not None else jnp.float32
+    args = (jax.ShapeDtypeStruct((batch_size,) + tuple(img_shape), a_dt),
+            jax.ShapeDtypeStruct((batch_size, 1), jnp.float32),
+            jax.ShapeDtypeStruct((), jnp.int32))
+
+    old_fl, old_uf = _fl.get_default_impl(), _uf.get_default_impl()
+    _fl.set_default_impl("xla")
+    _uf.set_default_impl("auto")  # banded/conv einsum forms are portable
+    try:
+        kwargs = {"platforms": tuple(platforms)} if platforms else {}
+        return jax.export.export(jax.jit(fn), **kwargs)(*args)
+    finally:
+        _fl.set_default_impl(old_fl)
+        _uf.set_default_impl(old_uf)
+
+
+def save_exported(exported, path: str) -> str:
+    data = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(data)
+    return path
+
+
+def load_exported(path: str):
+    with open(path, "rb") as f:
+        return jax.export.deserialize(f.read())
+
+
+def serving_forward(exported_or_path, start_counter: int = 0):
+    """Wrap a (de)serialized artifact as the ``(a_batch, slice_idx)``
+    callable ``StandardPredictor`` consumes; the call counter advances
+    per batch (fresh z, reproducible stream)."""
+    exp = (load_exported(exported_or_path)
+           if isinstance(exported_or_path, (str, os.PathLike))
+           else exported_or_path)
+    counter = [int(start_counter)]
+
+    def forward(a_batch, slice_idx):
+        out = exp.call(jnp.asarray(a_batch),
+                       jnp.asarray(slice_idx, jnp.float32),
+                       jnp.int32(counter[0]))
+        counter[0] += 1
+        return out
+
+    return forward
+
+
+def main(argv=None):
+    import sys
+    argv = list(sys.argv[1:] if argv is None else argv)
+    output = None
+    if "--output" in argv:
+        i = argv.index("--output")
+        output = argv[i + 1]
+        del argv[i:i + 2]
+
+    from ..config import default_argument_parser
+    from ..models import build_gan_model
+    from ..utils import checkpoint as ckpt
+
+    cfg = default_argument_parser(argv)
+    model = build_gan_model(cfg)
+    run_dir = os.path.join(cfg.checkpoints_dir, cfg.name)
+    tag = str(cfg.epoch) if cfg.epoch else "latest"
+    res = cfg.model.G.img_resolution
+    c_in = cfg.model.G.img_channels_in
+    dummy = {"A": jnp.zeros((1, c_in, res, res)),
+             "B": jnp.zeros((1, cfg.model.G.img_channels_out, res, res)),
+             "slice_idx": jnp.zeros((1, 1))}
+    state = model.init_state(jax.random.PRNGKey(0), dummy)
+    state = ckpt.load_state(state, run_dir, tag)
+
+    norm_range = None
+    if getattr(cfg.tpu, "transfer_dtype", "float32") == "uint8":
+        from ..data.h5_dataset import _is_standard_pipeline
+        norm_range = _is_standard_pipeline(cfg.loaders.test.transformer.raw)
+    exported = export_eval(
+        model, state, int(cfg.loaders.batch_size), (c_in, res, res),
+        norm_range=norm_range,
+        fetch_dtype=getattr(cfg.tpu, "fetch_dtype", None))
+    output = output or os.path.join(run_dir, "serving.hlo")
+    save_exported(exported, output)
+    print(f"exported {tag} eval step (batch {cfg.loaders.batch_size}, "
+          f"{'uint8' if norm_range else 'float32'} ingest) -> {output} "
+          f"[{os.path.getsize(output) / 1e6:.1f} MB, "
+          f"platforms {list(exported.platforms)}]")
+    return output
+
+
+if __name__ == "__main__":
+    main()
