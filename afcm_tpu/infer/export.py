@@ -63,12 +63,15 @@ def make_eval_fn(model, state, *, norm_range=None, fetch_dtype=None,
     return fn
 
 
-def export_eval(model, state, batch_size: int, img_shape: Sequence[int], *,
+def export_eval(model, state, batch_size: Optional[int],
+                img_shape: Sequence[int], *,
                 norm_range=None, fetch_dtype=None, seed: int = 0,
                 platforms: Optional[Sequence[str]] = None):
     """Export the EMA eval step for fixed ``batch_size`` (the predictor pads
     ragged tails to the loader batch size, so one static shape serves the
-    whole volume stream).
+    whole volume stream). ``batch_size=None`` exports with a *symbolic*
+    batch dimension — one artifact serves any batch size (each distinct
+    size still compiles its own executable on first use at the call site).
 
     ``img_shape`` is the conditioning-window shape (C, H, W). With
     ``norm_range`` the artifact ingests uint8 patches and normalizes
@@ -88,8 +91,10 @@ def export_eval(model, state, batch_size: int, img_shape: Sequence[int], *,
     fn = make_eval_fn(model, state, norm_range=norm_range,
                       fetch_dtype=fetch_dtype, seed=seed)
     a_dt = jnp.uint8 if norm_range is not None else jnp.float32
-    args = (jax.ShapeDtypeStruct((batch_size,) + tuple(img_shape), a_dt),
-            jax.ShapeDtypeStruct((batch_size, 1), jnp.float32),
+    b = (jax.export.symbolic_shape("batch")[0] if batch_size is None
+         else batch_size)
+    args = (jax.ShapeDtypeStruct((b,) + tuple(img_shape), a_dt),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
             jax.ShapeDtypeStruct((), jnp.int32))
 
     old_fl, old_uf = _fl.get_default_impl(), _uf.get_default_impl()
@@ -142,6 +147,9 @@ def main(argv=None):
         i = argv.index("--output")
         output = argv[i + 1]
         del argv[i:i + 2]
+    symbolic = "--symbolic-batch" in argv
+    if symbolic:
+        argv.remove("--symbolic-batch")
 
     from ..config import default_argument_parser
     from ..models import build_gan_model
@@ -163,13 +171,14 @@ def main(argv=None):
     if getattr(cfg.tpu, "transfer_dtype", "float32") == "uint8":
         from ..data.h5_dataset import _is_standard_pipeline
         norm_range = _is_standard_pipeline(cfg.loaders.test.transformer.raw)
+    batch = None if symbolic else int(cfg.loaders.batch_size)
     exported = export_eval(
-        model, state, int(cfg.loaders.batch_size), (c_in, res, res),
+        model, state, batch, (c_in, res, res),
         norm_range=norm_range,
         fetch_dtype=getattr(cfg.tpu, "fetch_dtype", None))
     output = output or os.path.join(run_dir, "serving.hlo")
     save_exported(exported, output)
-    print(f"exported {tag} eval step (batch {cfg.loaders.batch_size}, "
+    print(f"exported {tag} eval step (batch {batch or 'symbolic'}, "
           f"{'uint8' if norm_range else 'float32'} ingest) -> {output} "
           f"[{os.path.getsize(output) / 1e6:.1f} MB, "
           f"platforms {list(exported.platforms)}]")

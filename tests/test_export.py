@@ -115,3 +115,18 @@ def test_serving_forward_drives_predictor(tiny, tmp_path, rng):
     assert os.path.exists(out_path)
     vol = predictor.last_prediction
     assert vol.shape == (8, 64, 64) and np.isfinite(vol).all()
+
+
+def test_export_symbolic_batch(tiny, rng):
+    """batch_size=None exports one artifact that serves any batch size."""
+    cfg, model, state = tiny
+    from afcm_tpu.infer.export import export_eval, serving_forward
+    res = cfg.model.G.img_resolution
+    c_in = cfg.model.G.img_channels_in
+    exported = export_eval(model, state, None, (c_in, res, res), seed=7)
+    forward = serving_forward(exported)
+    for n in (1, 3):
+        a = rng.randn(n, c_in, res, res).clip(-1, 1).astype(np.float32)
+        s = rng.rand(n, 1).astype(np.float32)
+        out = np.asarray(forward(a, s))
+        assert out.shape == (n, 1, res, res) and np.isfinite(out).all()
