@@ -66,12 +66,17 @@ def make_eval_fn(model, state, *, norm_range=None, fetch_dtype=None,
 def export_eval(model, state, batch_size: Optional[int],
                 img_shape: Sequence[int], *,
                 norm_range=None, fetch_dtype=None, seed: int = 0,
-                platforms: Optional[Sequence[str]] = None):
+                platforms: Optional[Sequence[str]] = None, mesh=None):
     """Export the EMA eval step for fixed ``batch_size`` (the predictor pads
     ragged tails to the loader batch size, so one static shape serves the
     whole volume stream). ``batch_size=None`` exports with a *symbolic*
     batch dimension — one artifact serves any batch size (each distinct
     size still compiles its own executable on first use at the call site).
+
+    With a multi-device ``mesh``, the artifact is exported batch-sharded
+    over the mesh's data axis (GSPMD partitions the embedded weights);
+    calling it then requires the same device count — pass the mesh to
+    ``serving_forward`` too so inputs land sharded.
 
     ``img_shape`` is the conditioning-window shape (C, H, W). With
     ``norm_range`` the artifact ingests uint8 patches and normalizes
@@ -97,12 +102,18 @@ def export_eval(model, state, batch_size: Optional[int],
             jax.ShapeDtypeStruct((b, 1), jnp.float32),
             jax.ShapeDtypeStruct((), jnp.int32))
 
+    jit_kwargs = {}
+    if mesh is not None and mesh.devices.size > 1:
+        from ..parallel import batch_sharding
+        bs = batch_sharding(mesh)
+        jit_kwargs["in_shardings"] = (bs, bs, None)
+
     old_fl, old_uf = _fl.get_default_impl(), _uf.get_default_impl()
     _fl.set_default_impl("xla")
     _uf.set_default_impl("auto")  # banded/conv einsum forms are portable
     try:
         kwargs = {"platforms": tuple(platforms)} if platforms else {}
-        return jax.export.export(jax.jit(fn), **kwargs)(*args)
+        return jax.export.export(jax.jit(fn, **jit_kwargs), **kwargs)(*args)
     finally:
         _fl.set_default_impl(old_fl)
         _uf.set_default_impl(old_uf)
@@ -120,19 +131,28 @@ def load_exported(path: str):
         return jax.export.deserialize(f.read())
 
 
-def serving_forward(exported_or_path, start_counter: int = 0):
+def serving_forward(exported_or_path, start_counter: int = 0, mesh=None):
     """Wrap a (de)serialized artifact as the ``(a_batch, slice_idx)``
     callable ``StandardPredictor`` consumes; the call counter advances
-    per batch (fresh z, reproducible stream)."""
+    per batch (fresh z, reproducible stream). For an artifact exported
+    over a mesh, pass the (same-shape) serving mesh so input batches are
+    placed sharded over its data axis."""
     exp = (load_exported(exported_or_path)
            if isinstance(exported_or_path, (str, os.PathLike))
            else exported_or_path)
     counter = [int(start_counter)]
+    sharding = None
+    if mesh is not None and mesh.devices.size > 1:
+        from ..parallel import batch_sharding
+        sharding = batch_sharding(mesh)
 
     def forward(a_batch, slice_idx):
-        out = exp.call(jnp.asarray(a_batch),
-                       jnp.asarray(slice_idx, jnp.float32),
-                       jnp.int32(counter[0]))
+        a = jnp.asarray(a_batch)
+        s = jnp.asarray(slice_idx, jnp.float32)
+        if sharding is not None:
+            a = jax.device_put(a, sharding)
+            s = jax.device_put(s, sharding)
+        out = exp.call(a, s, jnp.int32(counter[0]))
         counter[0] += 1
         return out
 

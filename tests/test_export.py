@@ -130,3 +130,27 @@ def test_export_symbolic_batch(tiny, rng):
         s = rng.rand(n, 1).astype(np.float32)
         out = np.asarray(forward(a, s))
         assert out.shape == (n, 1, res, res) and np.isfinite(out).all()
+
+
+def test_export_mesh_sharded(tiny, rng):
+    """A mesh export embeds the dp sharding (nr_devices = mesh size) and
+    reproduces the single-device artifact's math on sharded inputs."""
+    cfg, model, state = tiny
+    from afcm_tpu.infer.export import export_eval, serving_forward
+    from afcm_tpu.parallel import make_mesh_for_batch
+    res = cfg.model.G.img_resolution
+    c_in = cfg.model.G.img_channels_in
+    mesh = make_mesh_for_batch((0, 1), 8)
+    assert mesh.devices.size == 8  # conftest forces the 8-device CPU mesh
+
+    exported = export_eval(model, state, 8, (c_in, res, res), seed=7,
+                           mesh=mesh)
+    assert exported.nr_devices == 8
+    forward = serving_forward(exported, mesh=mesh)
+    a = rng.randn(8, c_in, res, res).clip(-1, 1).astype(np.float32)
+    s = rng.rand(8, 1).astype(np.float32)
+    got = np.asarray(forward(a, s), np.float32)
+
+    single = export_eval(model, state, 8, (c_in, res, res), seed=7)
+    want = np.asarray(serving_forward(single)(a, s), np.float32)
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-6)
