@@ -154,3 +154,25 @@ def test_export_mesh_sharded(tiny, rng):
     single = export_eval(model, state, 8, (c_in, res, res), seed=7)
     want = np.asarray(serving_forward(single)(a, s), np.float32)
     np.testing.assert_allclose(got, want, rtol=0, atol=2e-6)
+
+
+def test_export_bf16_weights_halves_artifact(tiny, rng):
+    """weights_dtype='bfloat16' halves the artifact; drift stays in the
+    bf16-weights class (>40 dB PSNR on the tiny config)."""
+    cfg, model, state = tiny
+    from afcm_tpu.infer.export import export_eval, serving_forward
+    res = cfg.model.G.img_resolution
+    c_in = cfg.model.G.img_channels_in
+    full = export_eval(model, state, 2, (c_in, res, res), seed=7)
+    half = export_eval(model, state, 2, (c_in, res, res), seed=7,
+                       weights_dtype="bfloat16")
+    nf, nh = len(full.serialize()), len(half.serialize())
+    assert nh < 0.65 * nf, (nf, nh)
+
+    a = rng.randn(2, c_in, res, res).clip(-1, 1).astype(np.float32)
+    s = rng.rand(2, 1).astype(np.float32)
+    want = np.asarray(serving_forward(full)(a, s), np.float32)
+    got = np.asarray(serving_forward(half)(a, s), np.float32)
+    mse = float(np.mean((got - want) ** 2))
+    psnr = 10 * np.log10(4.0 / max(mse, 1e-20))  # data range 2
+    assert psnr > 40, f"bf16-weights drift too large: {psnr:.1f} dB"
