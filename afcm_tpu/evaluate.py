@@ -34,6 +34,58 @@ def rescale_intensity(volume, percentils=(0.5, 99.5), bins_num=256,
     return _ri(volume, percentils=percentils, bins_num=bins_num, norm=norm)
 
 
+def normalize_uint8(a, lo, hi):
+    """In-graph Normalize→[-1,1] for uint8-transfer batches — the same
+    formula the host float path precomputes
+    (data/h5_dataset.py AbstractVolumeDataset._norm). XLA lowers the
+    divide-by-constant to a reciprocal multiply, so results can differ
+    from the host path by 1 ULP (~6e-8)."""
+    return jnp.clip(2 * ((a.astype(jnp.float32) - lo) / (hi - lo)) - 1, -1, 1)
+
+
+def fetch_dtype_or_none(fetch_dtype):
+    """tpu.fetch_dtype → the on-device output cast dtype (None = float32)."""
+    return (jnp.dtype(fetch_dtype)
+            if fetch_dtype not in (None, "float32") else None)
+
+
+def init_and_load_state(cfg, model, tag: Optional[str] = None):
+    """Initialize a state skeleton from the config's shapes and restore the
+    checkpoint (``cfg.epoch`` or "latest"). Shared by the evaluate and
+    serving-export CLIs."""
+    run_dir = os.path.join(cfg.checkpoints_dir, cfg.name)
+    tag = tag or (str(cfg.epoch) if cfg.epoch else "latest")
+    rng = jax.random.PRNGKey(0)
+    res = cfg.model.G.img_resolution
+    dummy = {"A": jnp.zeros((1, cfg.model.G.img_channels_in, res, res)),
+             "B": jnp.zeros((1, cfg.model.G.img_channels_out, res, res)),
+             "slice_idx": jnp.zeros((1, 1))}
+    state = model.init_state(rng, dummy)
+    return ckpt.load_state(state, run_dir, tag)
+
+
+def detect_norm_range(cfg):
+    """The uint8-transfer decision (``tpu.transfer_dtype uint8``): returns
+    the Normalize range when batches will ship as raw bytes, else None.
+
+    Prefers the loader's authoritative per-volume decision (TestLoader
+    only ships uint8 when the stored volume dtype IS uint8 —
+    data/loader.py) by peeking at the first test subject; falls back to
+    the config-only pipeline check when no test data is reachable (e.g.
+    exporting on a box without the datasets)."""
+    if getattr(cfg.tpu, "transfer_dtype", "float32") != "uint8":
+        return None
+    from .data.h5_dataset import _is_standard_pipeline
+    rng = _is_standard_pipeline(cfg.loaders.test.transformer.raw)
+    if rng is None:
+        return None
+    try:
+        loader = next(iter(get_test_loaders(cfg)))
+        return loader.norm_range  # None when the volume isn't stored uint8
+    except Exception:
+        return rng
+
+
 def make_forward_fn(model, state, seed: int = 0, mesh=None, norm_range=None,
                     fetch_dtype=None):
     """Jitted (A, slice_idx) -> fake_B closure over the EMA generator.
@@ -57,26 +109,21 @@ def make_forward_fn(model, state, seed: int = 0, mesh=None, norm_range=None,
     eval_u8 = None
     if norm_range is not None:
         # uint8 transfer (tpu.transfer_dtype): patches arrive in the stored
-        # byte dtype and the Normalize->[-1,1] chain runs in-jit on device —
-        # the same formula the host float path precomputes
-        # (data/h5_dataset.py AbstractVolumeDataset._norm) — while
-        # host->device traffic drops 4x. XLA lowers the divide-by-constant
-        # to a reciprocal multiply, so normalized inputs can differ from the
-        # host path by 1 ULP (~6e-8); outputs agree to ~1e-7
+        # byte dtype and the Normalize->[-1,1] chain runs in-jit on device
+        # while host->device traffic drops 4x; outputs agree with the float
+        # path to ~1e-7
         # (tests/test_end_to_end.py::test_evaluate_uint8_transfer_parity).
         lo, hi = float(norm_range[0]), float(norm_range[1])
 
         @jax.jit
         def eval_u8(state, a_u8, s, sub):
-            a = jnp.clip(2 * ((a_u8.astype(jnp.float32) - lo) / (hi - lo)) - 1,
-                         -1, 1)
-            return model.eval_step(state, a, s, sub)
+            return model.eval_step(state, normalize_uint8(a_u8, lo, hi), s,
+                                   sub)
 
     # tpu.fetch_dtype "bfloat16": round the prediction batch on device so
     # the host fetch moves half the bytes. With compute_dtype bfloat16 the
     # values are bf16-computed already; the predictor accumulates float32.
-    out_dt = (jnp.dtype(fetch_dtype)
-              if fetch_dtype not in (None, "float32") else None)
+    out_dt = fetch_dtype_or_none(fetch_dtype)
     eval_cast = None
     if out_dt is not None:
         @jax.jit
@@ -151,16 +198,7 @@ def main(argv=None):
 
     model = build_gan_model(cfg)
     run_dir = os.path.join(cfg.checkpoints_dir, cfg.name)
-    tag = str(cfg.epoch) if cfg.epoch else "latest"
-
-    # Initialize a state skeleton then restore.
-    rng = jax.random.PRNGKey(0)
-    res = cfg.model.G.img_resolution
-    dummy = {"A": jnp.zeros((1, cfg.model.G.img_channels_in, res, res)),
-             "B": jnp.zeros((1, cfg.model.G.img_channels_out, res, res)),
-             "slice_idx": jnp.zeros((1, 1))}
-    state = model.init_state(rng, dummy)
-    state = ckpt.load_state(state, run_dir, tag)
+    state = init_and_load_state(cfg, model)
 
     # Multi-device serving: batch-shard patches over the mesh's data axis;
     # tensor-shard the big params over the model axis when configured.

@@ -44,18 +44,17 @@ def make_eval_fn(model, state, *, norm_range=None, fetch_dtype=None,
     ``counter`` is the per-call batch index; z is drawn from
     ``fold_in(PRNGKey(seed), counter)`` so a given evaluation stream is
     reproducible while every batch still sees fresh z (the same discipline
-    as evaluate.make_forward_fn)."""
-    out_dt = (jnp.dtype(fetch_dtype)
-              if fetch_dtype not in (None, "float32") else None)
+    as evaluate.make_forward_fn, whose normalize/fetch-cast helpers this
+    shares)."""
+    from ..evaluate import fetch_dtype_or_none, normalize_uint8
+    out_dt = fetch_dtype_or_none(fetch_dtype)
     lo_hi = None
     if norm_range is not None:
         lo_hi = (float(norm_range[0]), float(norm_range[1]))
 
     def fn(a, slice_idx, counter):
         if lo_hi is not None:
-            lo, hi = lo_hi
-            a = jnp.clip(2 * ((a.astype(jnp.float32) - lo) / (hi - lo)) - 1,
-                         -1, 1)
+            a = normalize_uint8(a, *lo_hi)
         key = jax.random.fold_in(jax.random.PRNGKey(seed), counter)
         out = model.eval_step(state, a, slice_idx, key)
         return out.astype(out_dt) if out_dt is not None else out
@@ -98,6 +97,7 @@ def export_eval(model, state, batch_size: Optional[int],
     # functions with the submodules' names, which shadow attribute imports.
     _fl = importlib.import_module("afcm_tpu.ops.filtered_lrelu")
     _uf = importlib.import_module("afcm_tpu.ops.upfirdn2d")
+    _mc = importlib.import_module("afcm_tpu.ops.modulated_conv")
 
     if weights_dtype is not None:
         wdt = jnp.dtype(weights_dtype)
@@ -121,14 +121,17 @@ def export_eval(model, state, batch_size: Optional[int],
         jit_kwargs["in_shardings"] = (bs, bs, None)
 
     old_fl, old_uf = _fl.get_default_impl(), _uf.get_default_impl()
+    old_mc = _mc.get_conv_impl()
     _fl.set_default_impl("xla")
     _uf.set_default_impl("auto")  # banded/conv einsum forms are portable
+    _mc.set_conv_impl("xla")      # int8 path is a Mosaic custom-call: unpin
     try:
         kwargs = {"platforms": tuple(platforms)} if platforms else {}
         return jax.export.export(jax.jit(fn, **jit_kwargs), **kwargs)(*args)
     finally:
         _fl.set_default_impl(old_fl)
         _uf.set_default_impl(old_uf)
+        _mc.set_conv_impl(old_mc)
 
 
 def save_exported(exported, path: str) -> str:
@@ -160,6 +163,14 @@ def serving_forward(exported_or_path, start_counter: int = 0, mesh=None):
 
     def forward(a_batch, slice_idx):
         a = jnp.asarray(a_batch)
+        expect = exp.in_avals[0].dtype
+        if a.dtype != expect:
+            raise TypeError(
+                f"artifact expects {expect} patches but got {a.dtype}: "
+                f"the export's ingest mode (uint8 vs float) must match what "
+                f"the loader ships — re-export with the matching "
+                f"tpu.transfer_dtype, or override it at export time "
+                f"(e.g. 'tpu.transfer_dtype float32').")
         s = jnp.asarray(slice_idx, jnp.float32)
         if sharding is not None:
             a = jax.device_put(a, sharding)
@@ -189,25 +200,25 @@ def main(argv=None):
         del argv[i:i + 2]
 
     from ..config import default_argument_parser
+    from ..evaluate import detect_norm_range, init_and_load_state
     from ..models import build_gan_model
-    from ..utils import checkpoint as ckpt
 
     cfg = default_argument_parser(argv)
+    # Trace-time precision must match the in-process serving step
+    # (evaluate.main applies the same config key before building).
+    if cfg.tpu.matmul_precision != "default":
+        jax.config.update("jax_default_matmul_precision",
+                          cfg.tpu.matmul_precision)
     model = build_gan_model(cfg)
     run_dir = os.path.join(cfg.checkpoints_dir, cfg.name)
     tag = str(cfg.epoch) if cfg.epoch else "latest"
     res = cfg.model.G.img_resolution
     c_in = cfg.model.G.img_channels_in
-    dummy = {"A": jnp.zeros((1, c_in, res, res)),
-             "B": jnp.zeros((1, cfg.model.G.img_channels_out, res, res)),
-             "slice_idx": jnp.zeros((1, 1))}
-    state = model.init_state(jax.random.PRNGKey(0), dummy)
-    state = ckpt.load_state(state, run_dir, tag)
+    state = init_and_load_state(cfg, model, tag)
 
-    norm_range = None
-    if getattr(cfg.tpu, "transfer_dtype", "float32") == "uint8":
-        from ..data.h5_dataset import _is_standard_pipeline
-        norm_range = _is_standard_pipeline(cfg.loaders.test.transformer.raw)
+    # uint8 ingest only when the loader will actually ship bytes (it checks
+    # the stored volume dtype, not just the transform chain).
+    norm_range = detect_norm_range(cfg)
     batch = None if symbolic else int(cfg.loaders.batch_size)
     exported = export_eval(
         model, state, batch, (c_in, res, res),

@@ -176,3 +176,26 @@ def test_export_bf16_weights_halves_artifact(tiny, rng):
     mse = float(np.mean((got - want) ** 2))
     psnr = 10 * np.log10(4.0 / max(mse, 1e-20))  # data range 2
     assert psnr > 40, f"bf16-weights drift too large: {psnr:.1f} dB"
+
+
+def test_export_pins_op_impls(tiny):
+    """Process-global op routing (int8 conv, forced pallas lrelu) must not
+    leak Mosaic custom-calls into the portable artifact, and the globals
+    must be restored after export."""
+    import importlib
+    cfg, model, state = tiny
+    from afcm_tpu.infer.export import export_eval
+    mc = importlib.import_module("afcm_tpu.ops.modulated_conv")
+    fl = importlib.import_module("afcm_tpu.ops.filtered_lrelu")
+    res = cfg.model.G.img_resolution
+    c_in = cfg.model.G.img_channels_in
+    mc.set_conv_impl("int8")
+    fl.set_default_impl("pallas")
+    try:
+        exported = export_eval(model, state, 2, (c_in, res, res), seed=7)
+        assert mc.get_conv_impl() == "int8"       # restored, not clobbered
+        assert fl.get_default_impl() == "pallas"
+        assert "custom_call" not in exported.mlir_module()
+    finally:
+        mc.set_conv_impl("xla")
+        fl.set_default_impl("auto")
