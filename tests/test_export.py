@@ -199,3 +199,42 @@ def test_export_pins_op_impls(tiny):
     finally:
         mc.set_conv_impl("xla")
         fl.set_default_impl("auto")
+
+
+def test_serve_cli_artifact_matches_in_process(tiny, tmp_path):
+    """afcm_tpu.serve writes the same volumes from a checkpoint (in-process)
+    and from an AOT artifact."""
+    import glob
+    from afcm_tpu.data.demo import write_demo_tree
+    from afcm_tpu.utils.nifti import read_nifti
+    from afcm_tpu.utils import checkpoint as ckpt
+    from afcm_tpu.infer.export import export_eval, save_exported
+    from afcm_tpu.serve import main as serve_main
+
+    cfg, model, state = tiny
+    root = str(tmp_path / "demo")
+    write_demo_tree(root, n_train=1, n_val=1, n_test=1, depth=8, size=64)
+    run_dir = str(tmp_path / "ckpt" / "demo_tiny")
+    os.makedirs(run_dir, exist_ok=True)
+    ckpt.save_state(state, run_dir, "latest")
+    opts = ["loaders.test.file_paths", f"['{root}/test']",
+            "loaders.train.file_paths", f"['{root}/train']",
+            "loaders.val.file_paths", f"['{root}/val']",
+            "checkpoints_dir", str(tmp_path / "ckpt")]
+    cfg_file = os.path.join(REPO, "configs/demo/cmsr_tiny.yml")
+
+    out1 = serve_main(["--config-file", cfg_file,
+                       "--out", str(tmp_path / "out1")] + opts)
+    res = cfg.model.G.img_resolution
+    c_in = cfg.model.G.img_channels_in
+    art = save_exported(export_eval(model, state, 2, (c_in, res, res)),
+                        str(tmp_path / "serving.hlo"))
+    out2 = serve_main(["--config-file", cfg_file, "--artifact", art,
+                       "--out", str(tmp_path / "out2")] + opts)
+
+    f1 = sorted(glob.glob(out1 + "/*_predictions0.nii.gz"))
+    f2 = sorted(glob.glob(out2 + "/*_predictions0.nii.gz"))
+    assert len(f1) == 1 and len(f2) == 1
+    v1, _ = read_nifti(f1[0])
+    v2, _ = read_nifti(f2[0])
+    assert np.abs(v1 - v2).max() < 5e-6
