@@ -190,6 +190,12 @@ def setup(args) -> CfgNode:
 
     if getattr(args, "config_file", None):
         cfg.merge_from_file(args.config_file)
+    # --num-gpus N (reference: configs/config.py:29-31 → cfg.gpu_ids /
+    # DataParallel): the TPU analog is N devices on the mesh's data axis.
+    # Applied before opts so an explicit `tpu.mesh_shape` override wins.
+    n_dev = getattr(args, "num_gpus", None)
+    if n_dev:
+        cfg.tpu.mesh_shape = [int(n_dev), 1]
     if getattr(args, "opts", None):
         cfg.merge_from_list(args.opts)
     cfg.model.name = model_name or cfg.model.name
@@ -203,6 +209,10 @@ def default_argument_parser(argv: Optional[List[str]] = None) -> CfgNode:
                         help="path to config file")
     parser.add_argument("--model", default=None,
                         help="model family: stylegan3 | comodgan | pix2pix")
+    parser.add_argument("--num-gpus", "--num-devices", type=int, default=0,
+                        dest="num_gpus",
+                        help="devices on the mesh's data axis (reference "
+                             "CLI compat; same as `tpu.mesh_shape [N,1]`)")
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=[],
                         help="dotted-key config overrides: KEY VALUE ...")
     args = parser.parse_args(argv)

@@ -104,3 +104,17 @@ def test_r1_interval_threads_to_model():
     # default stays reference-faithful (R1 every step)
     cfg = setup(_Args(os.path.join(REPO, "configs/adni/comodgan/ccsr.yml")))
     assert build_gan_model(cfg).config.r1_interval == 1
+
+
+def test_num_gpus_flag_maps_to_mesh():
+    """--num-gpus N (reference CLI compat, configs/config.py:29-31) sets the
+    mesh's data axis; an explicit tpu.mesh_shape override still wins."""
+    from afcm_tpu.config import default_argument_parser
+    base = ["--config-file", os.path.join(REPO, "configs/demo/cmsr_tiny.yml")]
+    cfg = default_argument_parser(base + ["--num-gpus", "4"])
+    assert list(cfg.tpu.mesh_shape) == [4, 1]
+    cfg = default_argument_parser(base + ["--num-gpus", "4",
+                                          "tpu.mesh_shape", "[2, 2]"])
+    assert list(cfg.tpu.mesh_shape) == [2, 2]
+    cfg = default_argument_parser(base)
+    assert list(cfg.tpu.mesh_shape) == [0, 1]
