@@ -192,10 +192,12 @@ def setup(args) -> CfgNode:
         cfg.merge_from_file(args.config_file)
     # --num-gpus N (reference: configs/config.py:29-31 → cfg.gpu_ids /
     # DataParallel): the TPU analog is N devices on the mesh's data axis.
-    # Applied before opts so an explicit `tpu.mesh_shape` override wins.
+    # Only the data axis is set — a YAML-configured model (tensor-parallel)
+    # axis is preserved. Applied before opts so an explicit
+    # `tpu.mesh_shape` override wins.
     n_dev = getattr(args, "num_gpus", None)
     if n_dev:
-        cfg.tpu.mesh_shape = [int(n_dev), 1]
+        cfg.tpu.mesh_shape = [int(n_dev), int(cfg.tpu.mesh_shape[1])]
     if getattr(args, "opts", None):
         cfg.merge_from_list(args.opts)
     cfg.model.name = model_name or cfg.model.name

@@ -64,26 +64,106 @@ def init_and_load_state(cfg, model, tag: Optional[str] = None):
     return ckpt.load_state(state, run_dir, tag)
 
 
-def detect_norm_range(cfg):
-    """The uint8-transfer decision (``tpu.transfer_dtype uint8``): returns
-    the Normalize range when batches will ship as raw bytes, else None.
-
-    Prefers the loader's authoritative per-volume decision (TestLoader
-    only ships uint8 when the stored volume dtype IS uint8 —
-    data/loader.py) by peeking at the first test subject; falls back to
-    the config-only pipeline check when no test data is reachable (e.g.
-    exporting on a box without the datasets)."""
+def pipeline_norm_range(cfg):
+    """Config-only uint8-transfer check: the Normalize range when
+    ``tpu.transfer_dtype`` is uint8 and the test pipeline is the standard
+    Normalize→ToTensor chain, else None. This is the right input for
+    in-process serving: ``make_forward_fn`` dispatches on the actual
+    batch dtype per call, and TestLoader only ships bytes for volumes
+    actually stored uint8 (data/loader.py) — a range here merely enables
+    the uint8 path; float-stored subjects still take the float path."""
     if getattr(cfg.tpu, "transfer_dtype", "float32") != "uint8":
         return None
     from .data.h5_dataset import _is_standard_pipeline
-    rng = _is_standard_pipeline(cfg.loaders.test.transformer.raw)
+    return _is_standard_pipeline(cfg.loaders.test.transformer.raw)
+
+
+def detect_norm_range(cfg):
+    """Strict ingest decision for AOT export — the artifact has ONE ingest
+    dtype, so uint8 is only chosen when every test volume will actually
+    ship as bytes. For the h5 pipeline this is checked from file metadata
+    (h5py dtype reads; no volume data is loaded). Mixed or non-uint8
+    storage falls back to float ingest with a printed note; when no test
+    data is reachable (exporting away from the datasets) or the dataset
+    mode is the NII cascade (whose loader bins volumes to uint8 by
+    construction, data/nii_dataset.py:44), the config range is assumed
+    and noted."""
+    rng = pipeline_norm_range(cfg)
     if rng is None:
         return None
-    try:
-        loader = next(iter(get_test_loaders(cfg)))
-        return loader.norm_range  # None when the volume isn't stored uint8
-    except Exception:
+    if cfg.loaders.get("dataset_mode", "cmsr") != "cmsr":
         return rng
+    from .data.h5_dataset import StandardHDF5Dataset
+    try:
+        files = StandardHDF5Dataset.traverse_paths(
+            list(cfg.loaders.test.file_paths), cfg.loaders)
+    except (OSError, TypeError):
+        files = []
+    if not files:
+        print("export note: no test volumes reachable — assuming uint8 "
+              f"storage (config Normalize range {tuple(rng)}); re-export "
+              "with `tpu.transfer_dtype float32` if the data is not uint8.")
+        return rng
+    import h5py
+    keys = list(dict.fromkeys(list(cfg.loaders.raw_internal_path_in) +
+                              list(cfg.loaders.raw_internal_path_out)))
+    for path in files:
+        try:
+            with h5py.File(path, "r") as f:
+                dtypes = {f[k].dtype for k in keys if k in f}
+        except OSError as exc:
+            print(f"export note: cannot read {path} ({exc}); "
+                  "falling back to float32 ingest.")
+            return None
+        if dtypes != {np.dtype(np.uint8)}:
+            print(f"export note: {path} stores {sorted(map(str, dtypes))} "
+                  "(not uint8) — the loader will ship float batches, so "
+                  "the artifact uses float32 ingest.")
+            return None
+    return rng
+
+
+def configure_ops(cfg):
+    """Apply the config's op-routing / precision knobs to the process:
+    ``tpu.filtered_lrelu_impl``, the int8 conv path (``tpu.conv_int8``),
+    and ``tpu.matmul_precision``. Shared by the evaluate and serve CLIs
+    so deployment serves exactly the numerics that were scored."""
+    from .ops.filtered_lrelu import set_default_impl
+    set_default_impl(getattr(cfg.tpu, "filtered_lrelu_impl", "auto"))
+    if getattr(cfg.tpu, "conv_int8", False):
+        from .ops.modulated_conv import set_conv_impl
+        set_conv_impl("int8",
+                      variant=getattr(cfg.tpu, "conv_int8_variant", "dots"),
+                      min_ch=getattr(cfg.tpu, "conv_int8_min_ch", 64))
+    if cfg.tpu.matmul_precision != "default":
+        jax.config.update("jax_default_matmul_precision",
+                          cfg.tpu.matmul_precision)
+
+
+def prepare_mesh_state(cfg, state):
+    """Build the serving mesh and place the state on it: tensor-shard the
+    big params when the model axis is configured, else replicate.
+    Returns ``(mesh_or_None, state)``; shared by evaluate and serve."""
+    from .parallel import make_mesh_for_batch, replicate_state, shard_params
+    mesh = make_mesh_for_batch(tuple(cfg.tpu.mesh_shape),
+                               cfg.loaders.batch_size)
+    if mesh.devices.size <= 1:
+        return None, state
+    if mesh.shape["model"] > 1 and hasattr(state, "params_G_ema"):
+        return mesh, shard_params(state, mesh)
+    return mesh, replicate_state(state, mesh)
+
+
+def ensure_volumetric(cfg, driver: str):
+    """The volumetric predictor flow has no meaning for the pix2pix
+    image-folder baseline (matches the reference's scope: its evaluate.py
+    drives only the h5/NIfTI predictor — reference: evaluate.py,
+    data/utils.py:265-308)."""
+    if getattr(cfg.model, "name", "stylegan3") == "pix2pix":
+        raise NotImplementedError(
+            f"{driver} is the volumetric predictor flow; the pix2pix "
+            "image-folder baseline is trained/validated via afcm_tpu.train "
+            "(PSNR/SSIM on the val split), matching the reference's scope.")
 
 
 def make_forward_fn(model, state, seed: int = 0, mesh=None, norm_range=None,
@@ -176,25 +256,8 @@ def find_target_volume(cfg, subject: str) -> Optional[np.ndarray]:
 def main(argv=None):
     cfg = default_argument_parser(argv)
     print(cfg.dump())
-    if getattr(cfg.model, "name", "stylegan3") == "pix2pix":
-        # Matches the reference's scope: its evaluate.py drives only the
-        # volumetric h5/NIfTI predictor flow (reference: evaluate.py,
-        # data/utils.py:265-308); the pix2pix image-folder baseline has no
-        # volume semantics to stitch or score.
-        raise NotImplementedError(
-            "evaluate.py is the volumetric predictor flow; the pix2pix "
-            "image-folder baseline is trained/validated via afcm_tpu.train "
-            "(PSNR/SSIM on the val split), matching the reference's scope.")
-    from .ops.filtered_lrelu import set_default_impl
-    set_default_impl(getattr(cfg.tpu, "filtered_lrelu_impl", "auto"))
-    if getattr(cfg.tpu, "conv_int8", False):
-        from .ops.modulated_conv import set_conv_impl
-        set_conv_impl("int8",
-                      variant=getattr(cfg.tpu, "conv_int8_variant", "dots"),
-                      min_ch=getattr(cfg.tpu, "conv_int8_min_ch", 64))
-    if cfg.tpu.matmul_precision != "default":
-        jax.config.update("jax_default_matmul_precision",
-                          cfg.tpu.matmul_precision)
+    ensure_volumetric(cfg, "evaluate.py")
+    configure_ops(cfg)
 
     model = build_gan_model(cfg)
     run_dir = os.path.join(cfg.checkpoints_dir, cfg.name)
@@ -202,23 +265,11 @@ def main(argv=None):
 
     # Multi-device serving: batch-shard patches over the mesh's data axis;
     # tensor-shard the big params over the model axis when configured.
-    from .parallel import make_mesh_for_batch, replicate_state, shard_params
-    mesh = make_mesh_for_batch(tuple(cfg.tpu.mesh_shape),
-                               cfg.loaders.batch_size)
-    if mesh.devices.size > 1:
-        if mesh.shape["model"] > 1 and hasattr(state, "params_G_ema"):
-            state = shard_params(state, mesh)
-        else:
-            state = replicate_state(state, mesh)
-    else:
-        mesh = None
+    mesh, state = prepare_mesh_state(cfg, state)
 
     out_path = os.path.join(run_dir, "evaluate")
     os.makedirs(out_path, exist_ok=True)
-    norm_range = None
-    if getattr(cfg.tpu, "transfer_dtype", "float32") == "uint8":
-        from .data.h5_dataset import _is_standard_pipeline
-        norm_range = _is_standard_pipeline(cfg.loaders.test.transformer.raw)
+    norm_range = pipeline_norm_range(cfg)
     predictor_cls = get_predictor(cfg.predictor.name)
     predictor = predictor_cls(
         make_forward_fn(model, state, mesh=mesh, norm_range=norm_range,

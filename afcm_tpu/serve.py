@@ -19,8 +19,6 @@ from __future__ import annotations
 import os
 import time
 
-import jax
-
 
 def main(argv=None):
     import sys
@@ -38,55 +36,49 @@ def main(argv=None):
 
     from .config import default_argument_parser
     from .data import get_test_loaders
+    from .evaluate import (configure_ops, ensure_volumetric,
+                           init_and_load_state, make_forward_fn,
+                           pipeline_norm_range, prepare_mesh_state)
     from .infer import get_predictor
 
     cfg = default_argument_parser(argv)
-    if cfg.tpu.matmul_precision != "default":
-        jax.config.update("jax_default_matmul_precision",
-                          cfg.tpu.matmul_precision)
+    ensure_volumetric(cfg, "afcm_tpu.serve")
+    configure_ops(cfg)  # same routing/precision the evaluation was scored at
     run_dir = os.path.join(cfg.checkpoints_dir, cfg.name)
     out_dir = out_dir or os.path.join(run_dir, "serve")
 
-    from .parallel import make_mesh_for_batch
-    mesh = make_mesh_for_batch(tuple(cfg.tpu.mesh_shape),
-                               cfg.loaders.batch_size)
-    if mesh.devices.size <= 1:
-        mesh = None
-
     if artifact is not None:
         from .infer.export import serving_forward
-        forward = serving_forward(artifact, mesh=mesh)
+        from .parallel import make_mesh_for_batch
+        mesh = make_mesh_for_batch(tuple(cfg.tpu.mesh_shape),
+                                   cfg.loaders.batch_size)
+        forward = serving_forward(
+            artifact, mesh=mesh if mesh.devices.size > 1 else None)
     else:
-        from .evaluate import (detect_norm_range, init_and_load_state,
-                               make_forward_fn)
         from .models import build_gan_model
-        from .ops.filtered_lrelu import set_default_impl
-        set_default_impl(getattr(cfg.tpu, "filtered_lrelu_impl", "auto"))
         model = build_gan_model(cfg)
-        state = init_and_load_state(cfg, model)
-        if mesh is not None:
-            from .parallel import replicate_state, shard_params
-            if mesh.shape["model"] > 1 and hasattr(state, "params_G_ema"):
-                state = shard_params(state, mesh)
-            else:
-                state = replicate_state(state, mesh)
+        mesh, state = prepare_mesh_state(cfg,
+                                         init_and_load_state(cfg, model))
         forward = make_forward_fn(
-            model, state, mesh=mesh, norm_range=detect_norm_range(cfg),
+            model, state, mesh=mesh, norm_range=pipeline_norm_range(cfg),
             fetch_dtype=getattr(cfg.tpu, "fetch_dtype", None))
 
     predictor = get_predictor(cfg.predictor.name)(
         forward, out_dir, cfg, patch_halo=cfg.predictor.patch_halo)
-    n_subjects, n_slices, t0 = 0, 0, time.time()
+    # len(dataset) counts patch windows; with overlapping strides there are
+    # more patches than slices, so the rate below is patches/s, not slices/s
+    # (equal for the shipped full-slice 256² configs).
+    n_subjects, n_patches, t0 = 0, 0, time.time()
     for loader in predictor.run_pipelined(get_test_loaders(cfg)):
         n_subjects += 1
-        n_slices += len(loader.dataset)
+        n_patches += len(loader.dataset)
         subject = os.path.basename(loader.dataset.file_path).split(".")[0]
-        print(f" subject:{subject}  {len(loader.dataset)} slices -> "
+        print(f" subject:{subject}  {len(loader.dataset)} patches -> "
               f"{out_dir}", flush=True)
     predictor.wait_for_writes()
     dt = time.time() - t0
-    print(f"served {n_subjects} subjects / {n_slices} slices in {dt:.1f} s "
-          f"({n_slices / max(dt, 1e-9):.1f} slices/s e2e)")
+    print(f"served {n_subjects} subjects / {n_patches} patches in {dt:.1f} s "
+          f"({n_patches / max(dt, 1e-9):.1f} patches/s e2e)")
     return out_dir
 
 

@@ -116,5 +116,8 @@ def test_num_gpus_flag_maps_to_mesh():
     cfg = default_argument_parser(base + ["--num-gpus", "4",
                                           "tpu.mesh_shape", "[2, 2]"])
     assert list(cfg.tpu.mesh_shape) == [2, 2]
+    # the flag sets only the data axis; a configured model axis survives
+    cfg = default_argument_parser(base + ["--num-gpus", "4"])
+    assert cfg.tpu.mesh_shape[1] == 1  # default model axis preserved
     cfg = default_argument_parser(base)
     assert list(cfg.tpu.mesh_shape) == [0, 1]

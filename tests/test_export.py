@@ -238,3 +238,48 @@ def test_serve_cli_artifact_matches_in_process(tiny, tmp_path):
     v1, _ = read_nifti(f1[0])
     v2, _ = read_nifti(f2[0])
     assert np.abs(v1 - v2).max() < 5e-6
+
+
+def test_detect_norm_range_strict_on_mixed_storage(tiny, tmp_path):
+    """The export ingest decision checks stored dtypes from h5 metadata:
+    all-uint8 -> uint8 ingest; any float-stored volume -> float ingest."""
+    import h5py
+    from afcm_tpu.evaluate import detect_norm_range, pipeline_norm_range
+    from afcm_tpu.data.demo import write_demo_tree
+
+    root = str(tmp_path / "demo")
+    write_demo_tree(root, n_train=1, n_val=1, n_test=2, depth=8, size=64)
+    opts = ["loaders.test.file_paths", f"['{root}/test']",
+            "loaders.train.file_paths", f"['{root}/train']",
+            "loaders.val.file_paths", f"['{root}/val']",
+            "tpu.transfer_dtype", "uint8"]
+    cfg = setup(_Args(os.path.join(REPO, "configs/demo/cmsr_tiny.yml"),
+                      opts=opts))
+    assert pipeline_norm_range(cfg) == (0.0, 255.0)
+    assert detect_norm_range(cfg) == (0.0, 255.0)  # demo volumes are uint8
+
+    # rewrite one subject's modalities as float32 -> strict check says float
+    import glob
+    victim = sorted(glob.glob(os.path.join(root, "test", "*.h5")))[1]
+    with h5py.File(victim, "r+") as f:
+        for k in list(f.keys()):
+            data = f[k][()].astype(np.float32)
+            del f[k]
+            f[k] = data
+    assert detect_norm_range(cfg) is None
+    # the in-process decision is unchanged (runtime dtype dispatch is safe)
+    assert pipeline_norm_range(cfg) == (0.0, 255.0)
+
+
+def test_serve_rejects_pix2pix(tmp_path):
+    """serve gives the same deliberate scope error as evaluate for the
+    image-folder baseline instead of an obscure AttributeError."""
+    from afcm_tpu.serve import main as serve_main
+    with pytest.raises(NotImplementedError, match="volumetric"):
+        serve_main(["--config-file",
+                    os.path.join(REPO, "configs/demo/pix2pix_tiny.yml")
+                    if os.path.exists(os.path.join(
+                        REPO, "configs/demo/pix2pix_tiny.yml"))
+                    else os.path.join(REPO, "configs/demo/cmsr_tiny.yml"),
+                    "--model", "pix2pix",
+                    "checkpoints_dir", str(tmp_path)])
