@@ -101,6 +101,9 @@ def get_default_cfg() -> CfgNode:
     c.loss.gan_mode = "vanilla"
     c.loss.lambda_L1 = 100.0
     c.loss.lambda_r1 = 10.0
+    # wgangp gradient penalty weight (pix2pix baseline; 0 = off, matching
+    # the reference, whose pix2pix never calls cal_gradient_penalty)
+    c.loss.lambda_gp = 0.0
     # Lazy R1 interval (TPU extension; 1 = reference-faithful every-step R1).
     # N > 1 runs the R1 double-grad every Nth step scaled by N — the
     # integrated strength is preserved but the schedule deviates from the

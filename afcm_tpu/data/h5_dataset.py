@@ -93,11 +93,7 @@ class AbstractVolumeDataset:
 
         self.transformer = Transformer(transformer_config, self.stats)
         self._norm_range = _is_standard_pipeline(transformer_config["raw"])
-        if self._norm_range is not None:
-            lo, hi = self._norm_range
-            self._norm = {k: np.clip(
-                2 * ((v.astype(np.float32) - lo) / (hi - lo)) - 1, -1, 1)
-                for k, v in self.raw.items()}
+        self._norm_cache = None  # lazy float copies; see _norm property
 
         slice_builder = get_slice_builder(
             self.raw[raw_internal_path[-1]], None, None, slice_builder_config)
@@ -233,8 +229,13 @@ class AbstractVolumeDataset:
         """Assemble a whole batch with the native gather when eligible;
         semantics identical to stacking `get_item` results."""
         rng = rng or _random
+        # dtype guard: the native gather reads raw bytes (assemble_windows
+        # coerces to uint8) — non-uint8-stored volumes must take the
+        # per-item float path, same as TestLoader's per-volume decision
+        # (loader.py:111-113).
         if (self._norm_range is None or self.slice_num != 4 or
-                self.cat_inputs or not self._full_plane_slices()):
+                self.cat_inputs or not self._full_plane_slices() or
+                any(v.dtype != np.uint8 for v in self.raw.values())):
             return None
         from ..native import assemble_windows
         lo, hi = self._norm_range
@@ -268,6 +269,20 @@ class AbstractVolumeDataset:
         if self.phase != "test":
             batch["B"] = gather(mods_b, win_b)
         return batch
+
+    @property
+    def _norm(self):
+        """Float32 normalized copies of every modality, built lazily on the
+        first slow-path access: the native ``get_batch`` gather and the
+        uint8-transfer test path never read them, and building eagerly
+        multiplied a uint8 subject's resident RAM ~5x on this
+        whole-volume-in-RAM design."""
+        if self._norm_cache is None:
+            lo, hi = self._norm_range
+            self._norm_cache = {k: np.clip(
+                2 * ((v.astype(np.float32) - lo) / (hi - lo)) - 1, -1, 1)
+                for k, v in self.raw.items()}
+        return self._norm_cache
 
     def _slice(self, vol, raw_idx, fast: bool):
         patch = vol[raw_idx]
@@ -364,12 +379,10 @@ class CmsrDataset:
         """Batch assembly through the native fast path (grouped by subject);
         returns None when any subject is ineligible so callers fall back."""
         per_ds = {}
-        order = []
         for pos, index in enumerate(indices):
             ds_idx = int(np.searchsorted(self._offsets, index, side="right") - 1)
             local = int(index) - int(self._offsets[ds_idx])
             per_ds.setdefault(ds_idx, []).append((pos, local))
-            order.append((ds_idx, local))
 
         parts = {}
         for ds_idx, items in per_ds.items():

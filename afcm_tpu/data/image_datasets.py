@@ -43,10 +43,14 @@ def _load_image(path: str, grayscale: bool):
 
 
 def get_params(preprocess: str, load_size: int, crop_size: int, size,
-               rng=None):
+               rng=None, deterministic: bool = False):
     """rng: optional random.Random; TrainLoader passes its seeded instance
     so epochs are reproducible (and prefetch threads do not race the
-    process-global random state)."""
+    process-global random state).
+
+    ``deterministic`` (val/test phases) center-crops and never flips — the
+    reference's test protocol hard-sets no_flip + serial_batches (upstream
+    pix2pix test.py), so scoring is augmentation-free."""
     r = rng if rng is not None else random
     w, h = size
     new_w, new_h = w, h
@@ -55,6 +59,9 @@ def get_params(preprocess: str, load_size: int, crop_size: int, size,
     elif preprocess == "scale_width_and_crop":
         new_w = load_size
         new_h = load_size * h // w
+    if deterministic:
+        return {"crop_pos": (max(0, new_w - crop_size) // 2,
+                             max(0, new_h - crop_size) // 2), "flip": False}
     x = r.randint(0, max(0, new_w - crop_size))
     y = r.randint(0, max(0, new_h - crop_size))
     flip = r.random() > 0.5
@@ -107,6 +114,7 @@ class AlignedDataset:
                  direction: str = "AtoB", max_dataset_size=float("inf")):
         self.dir_ab = os.path.join(dataroot, phase)
         self.ab_paths = make_dataset(self.dir_ab, max_dataset_size)
+        self.phase = phase
         self.preprocess = preprocess
         self.load_size = load_size
         self.crop_size = crop_size
@@ -129,7 +137,8 @@ class AlignedDataset:
         if self.output_nc == 1:
             b = b.convert("L")
         params = get_params(self.preprocess, self.load_size, self.crop_size,
-                            a.size, rng=rng)
+                            a.size, rng=rng,
+                            deterministic=self.phase != "train")
         a_t = apply_transform(a, self.preprocess, self.load_size,
                               self.crop_size, params)
         b_t = apply_transform(b, self.preprocess, self.load_size,
@@ -156,7 +165,10 @@ class UnalignedDataset:
         self.b_paths = make_dataset(self.dir_b, max_dataset_size)
         self.input_nc = output_nc if btoa else input_nc
         self.output_nc = input_nc if btoa else output_nc
-        self.serial_batches = serial_batches
+        self.phase = phase
+        # the reference's test protocol forces serial pairing + no flip
+        # (upstream pix2pix test.py); training keeps the configured policy
+        self.serial_batches = serial_batches or phase != "train"
         self.preprocess = preprocess
         self.load_size = load_size
         self.crop_size = crop_size
@@ -171,12 +183,17 @@ class UnalignedDataset:
             b_path = self.b_paths[index % len(self.b_paths)]
         else:
             b_path = self.b_paths[r.randint(0, len(self.b_paths) - 1)]
-        a = apply_transform(_load_image(a_path, self.input_nc == 1),
-                            self.preprocess, self.load_size, self.crop_size,
-                            rng=rng)
-        b = apply_transform(_load_image(b_path, self.output_nc == 1),
-                            self.preprocess, self.load_size, self.crop_size,
-                            rng=rng)
+        det = self.phase != "train"
+        a_img = _load_image(a_path, self.input_nc == 1)
+        b_img = _load_image(b_path, self.output_nc == 1)
+        pa = get_params(self.preprocess, self.load_size, self.crop_size,
+                        a_img.size, deterministic=True) if det else None
+        pb = get_params(self.preprocess, self.load_size, self.crop_size,
+                        b_img.size, deterministic=True) if det else None
+        a = apply_transform(a_img, self.preprocess, self.load_size,
+                            self.crop_size, params=pa, rng=rng)
+        b = apply_transform(b_img, self.preprocess, self.load_size,
+                            self.crop_size, params=pb, rng=rng)
         return {"A": a, "B": b, "A_paths": a_path, "B_paths": b_path}
 
 

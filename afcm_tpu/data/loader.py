@@ -68,25 +68,43 @@ class TrainLoader:
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
         error: List[BaseException] = []
+
+        def _put(item) -> bool:
+            # bounded put that aborts when the consumer abandoned the
+            # iterator (e.g. train.py's max_iters break) — otherwise the
+            # worker would block in q.put forever, leaking the thread and
+            # pinning the queued batches for the life of the process.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for batch in self._epoch_batches():
-                    q.put(batch)
+                    if not _put(batch):
+                        return
             except BaseException as exc:  # propagate to consumer
                 error.append(exc)
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            stop.set()        # unblock + retire the worker on early exit
+            t.join()
         if error:
             raise error[0]
 

@@ -276,8 +276,15 @@ class GANModel:
     # -- inference -----------------------------------------------------------
 
     @functools.partial(jax.jit, static_argnums=0)
-    def eval_step(self, state: GANTrainState, cond_img, slice_idx, rng):
-        """EMA forward with const noise (reference: comodgan_model.py:114-126)."""
+    def eval_step(self, state: GANTrainState, cond_img, slice_idx, rng,
+                  ref_img=None):
+        """EMA forward with const noise (reference: comodgan_model.py:114-126).
+
+        ``ref_img`` mirrors the reference's ``ref_img=self.real_B``: the
+        validation flow passes the target batch so a RefMappingNetwork
+        mapper works; the predictor flow has no target (the reference's
+        set_test_input doesn't set one either) and the mainstream mappers
+        ignore it."""
         cfg = self.config
         z = jax.random.normal(rng, (cond_img.shape[0], cfg.z_dim))
         c = slice_idx.reshape(-1, cfg.c_dim) if cfg.c_dim > 0 else \
@@ -285,5 +292,6 @@ class GANModel:
         variables = {"params": state.params_G_ema,
                      "moments": state.moments_G_ema,
                      "constants": state.constants_G}
-        return self.generator.apply(variables, z, c, cond_img, train=False,
+        return self.generator.apply(variables, z, c, cond_img,
+                                    ref_img=ref_img, train=False,
                                     noise_mode="const")

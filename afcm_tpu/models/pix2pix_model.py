@@ -104,7 +104,7 @@ class Pix2PixModel:
         del nimg  # pix2pix has no nimg-dependent schedule (no blur fade/EMA)
         cfg = self.config
         real_a, real_b = batch["A"], batch["B"]
-        rng_g1, rng_g2 = jax.random.split(rng)
+        rng_g1, rng_g2, rng_gp = jax.random.split(rng, 3)
 
         tx_g = make_optimizer(cfg.lr_g, cfg.beta1, 0.999, 1e-8)
         tx_d = make_optimizer(cfg.lr_d, cfg.beta1, 0.999, 1e-8)
@@ -122,6 +122,15 @@ class Pix2PixModel:
             loss_fake = losses.gan_loss(cfg.gan_mode, pred_fake, False)
             loss_real = losses.gan_loss(cfg.gan_mode, pred_real, True)
             loss = (loss_fake + loss_real) * 0.5
+            if cfg.gan_mode == "wgangp" and cfg.lambda_gp > 0:
+                # WGAN-GP Lipschitz penalty (losses.cal_gradient_penalty,
+                # reference helper models/utils.py:282-316 — which the
+                # reference's own pix2pix never wires; opt-in here via
+                # loss.lambda_gp). Frozen BN stats for the interpolate pass.
+                gp, _ = losses.cal_gradient_penalty(
+                    lambda x: self._run_d(params_d, stats_d, x, False)[0],
+                    real_ab, fake_ab, rng_gp, lambda_gp=cfg.lambda_gp)
+                loss = loss + gp
             return loss, (loss_fake, loss_real, stats_d)
 
         (_, (loss_d_fake, loss_d_real, stats_d)), d_grads = \
@@ -153,8 +162,9 @@ class Pix2PixModel:
                            "D_real": loss_d_real, "D_fake": loss_d_fake}
 
     @functools.partial(jax.jit, static_argnums=0)
-    def eval_step(self, state: Pix2PixState, a, slice_idx=None, rng=None):
-        del slice_idx, rng
+    def eval_step(self, state: Pix2PixState, a, slice_idx=None, rng=None,
+                  ref_img=None):
+        del slice_idx, rng, ref_img  # accepted for the shared validate() API
         out, _ = self._run_g(state.params_G, state.stats_G, a,
                              jax.random.PRNGKey(0), train=False)
         return out
@@ -191,6 +201,7 @@ def build_pix2pix_model(cfg) -> Pix2PixModel:
         raise NotImplementedError(f"pix2pix discriminator {net_d}")
     config = Pix2PixConfig(gan_mode=cfg.loss.gan_mode,
                            lambda_l1=cfg.loss.lambda_L1,
+                           lambda_gp=getattr(cfg.loss, "lambda_gp", 0.0),
                            lr_g=cfg.optimizer.lr_G, lr_d=cfg.optimizer.lr_D,
                            beta1=cfg.optimizer.beta1,
                            combine_ab=cfg.model.combine_ab)

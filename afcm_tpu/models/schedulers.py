@@ -30,8 +30,13 @@ class LRScheduler:
     """Per-epoch multiplicative LR factor, stateful only for ``plateau``.
 
     ``epoch`` is the train loop's epoch variable, starting at
-    ``cfg.scheduler.epoch_count`` (the reference steps its scheduler once per
-    completed epoch, so factors are functions of ``epoch - epoch_count``).
+    ``cfg.scheduler.epoch_count``. The reference steps its torch scheduler
+    at the *beginning* of every loop epoch (reference: train.py:44,
+    base_model.py:116-123), so while training loop epoch E the scheduler's
+    internal counter reads ``E - epoch_count + 1`` — factors below are
+    functions of that count, matching the reference timeline exactly
+    (e.g. linear with epoch_count=1, n_epochs=n_epochs_decay=10: loop
+    epoch 10 trains at 1 - 1/11, and the final loop epoch 20 at 0.0).
     """
 
     def __init__(self, cfg):
@@ -52,10 +57,14 @@ class LRScheduler:
     def factor(self, epoch: int, metric: Optional[float] = None) -> float:
         """LR multiplier for this epoch; ``metric`` feeds ``plateau`` only
         (lower is better, e.g. ``-ssim``)."""
-        t = epoch - self.epoch_count
+        # torch scheduler's internal epoch while loop epoch `epoch` trains
+        # (constructed at 0 in setup, stepped once at every epoch start)
+        t = epoch - self.epoch_count + 1
         if self.policy == "linear":
-            # reference lambda_rule: epochs are counted from epoch_count
-            return 1.0 - max(0, epoch - self.n_epochs) / \
+            # reference lambda_rule(t) = 1 - max(0, t + epoch_count -
+            # n_epochs)/(n_epochs_decay+1) — epoch_count cancels against
+            # the internal counter's offset (models/utils.py:57-59)
+            return 1.0 - max(0, epoch + 1 - self.n_epochs) / \
                 float(self.n_epochs_decay + 1)
         if self.policy == "step":
             return 0.1 ** (t // self.lr_decay_iters)

@@ -76,6 +76,7 @@ class TemplateModel:
                               opt_state=opt_state), {"loss_G": loss})
 
     @functools.partial(jax.jit, static_argnums=0)
-    def eval_step(self, state: TemplateState, a, slice_idx=None, rng=None):
-        del slice_idx, rng
+    def eval_step(self, state: TemplateState, a, slice_idx=None, rng=None,
+                  ref_img=None):
+        del slice_idx, rng, ref_img  # accepted for the shared validate() API
         return self.net.apply({"params": state.params}, a)

@@ -55,9 +55,12 @@ def validate(model, state, val_loader, rng) -> Optional[Dict[str, float]]:
     c_psnr, c_ssim = [], []
     for i, batch in enumerate(val_loader):
         rng, sub = jax.random.split(rng)
+        # ref_img = the target batch, like the reference's forward_ema
+        # (comodgan_model.py:114-116) — used only by RefMappingNetwork.
         fake = np.asarray(model.eval_step(
             state, jnp.asarray(batch["A"]),
-            jnp.asarray(_slice_idx_of(batch)), sub))
+            jnp.asarray(_slice_idx_of(batch)), sub,
+            ref_img=jnp.asarray(batch["B"])))
         preds = np.clip((fake[:, None] + 1) / 2, 0, 1)
         real = np.clip((batch["B"][:, None] + 1) / 2, 0, 1)
         result = evaluate_2D(preds, real)
@@ -176,7 +179,8 @@ def train(cfg, max_iters: Optional[int] = None) -> Dict[str, float]:
                 rng, vis_rng = jax.random.split(rng)
                 fake = model.eval_step(
                     state, jnp.asarray(batch["A"][:1]),
-                    jnp.asarray(_slice_idx_of(batch)[:1]), vis_rng)
+                    jnp.asarray(_slice_idx_of(batch)[:1]), vis_rng,
+                    ref_img=jnp.asarray(batch["B"][:1]))
                 # display the center slice of the 4-window input (channel 1)
                 # when present; single-channel inputs show as-is
                 a_ch = 1 if batch["A"].shape[1] > 1 else 0

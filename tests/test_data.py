@@ -229,3 +229,48 @@ def test_template_dataset_contract():
     # test phase: smaller split, same contract
     ds_test = create_dataset(cfg, "test")
     assert len(ds_test) == 4
+
+
+def test_get_batch_falls_back_for_non_uint8_storage(tmp_path):
+    """The native batch gather reads raw bytes, so float-stored volumes
+    must take the per-item path; previously they were silently wrapped
+    modulo 256 into garbage."""
+    import h5py
+    root = write_demo_tree(str(tmp_path / "d"), n_train=1, n_val=1,
+                           n_test=1, depth=16, size=96)
+    path = [os.path.join(root, "train", f)
+            for f in os.listdir(os.path.join(root, "train"))][0]
+    with h5py.File(path, "r+") as f:
+        for k in list(f.keys()):
+            data = f[k][()].astype(np.float32)  # same values, float storage
+            del f[k]
+            f[k] = data
+    ds = CmsrDataset(_loaders_config(root), phase="train")
+    assert ds.get_batch([0, 1]) is None  # ineligible -> caller falls back
+    loader = TrainLoader(ds, batch_size=2, shuffle=False, prefetch=0)
+    batch = next(iter(loader))
+    assert batch["A"].dtype == np.float32
+    assert batch["A"].min() >= -1 and batch["A"].max() <= 1
+    # per-item path produces the same values as uint8 storage would
+    ds_u8 = CmsrDataset(_loaders_config(
+        write_demo_tree(str(tmp_path / "u8"), n_train=1, n_val=1, n_test=1,
+                        depth=16, size=96)), phase="train")
+    a = ds.get_item(3)["A"]
+    b = ds_u8.get_item(3)["A"]
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_train_loader_prefetch_worker_exits_on_abandon(demo_root):
+    """Abandoning a prefetching iterator mid-epoch (train.py's max_iters
+    break) must retire the worker thread instead of leaking it blocked on
+    the bounded queue."""
+    import threading
+    ds = CmsrDataset(_loaders_config(demo_root), phase="train")
+    loader = TrainLoader(ds, batch_size=2, shuffle=False, prefetch=2)
+    before = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # GeneratorExit -> finally: stop + join
+    assert threading.active_count() == before
+    # a full pass still works afterwards
+    assert len(list(loader)) == len(loader)

@@ -189,3 +189,80 @@ def test_legacy_dataset_registry(tmp_path):
 
     ds = create_dataset({"dataset_mode": "template", "crop_size": 32}, "train")
     assert len(ds) == 16 and ds.get_item(3)["A"].shape == (1, 32, 32)
+
+
+def test_image_datasets_deterministic_off_train(tmp_path):
+    """val/test phases must score augmentation-free: same item twice ->
+    identical arrays (center crop, no flip, serial B pairing)."""
+    import os
+    import random
+    from PIL import Image
+    from afcm_tpu.data.image_datasets import AlignedDataset, UnalignedDataset
+
+    rng = np.random.RandomState(0)
+    for d in ("test", "testA", "testB"):
+        os.makedirs(tmp_path / d, exist_ok=True)
+    Image.fromarray(rng.randint(0, 255, (300, 600, 3), np.uint8)).save(
+        tmp_path / "test" / "0.png")
+    for d in ("testA", "testB"):
+        for i in range(3):
+            Image.fromarray(rng.randint(0, 255, (300, 300, 3), np.uint8)
+                            ).save(tmp_path / d / f"{i}.png")
+
+    ds = AlignedDataset(str(tmp_path), phase="test", load_size=286,
+                        crop_size=256)
+    r1 = ds.get_item(0, rng=random.Random(1))
+    r2 = ds.get_item(0, rng=random.Random(2))  # different rng, same output
+    np.testing.assert_array_equal(r1["A"], r2["A"])
+    np.testing.assert_array_equal(r1["B"], r2["B"])
+
+    du = UnalignedDataset(str(tmp_path), phase="test", load_size=286,
+                          crop_size=256, serial_batches=False)
+    assert du.serial_batches  # forced serial off-train
+    u1 = du.get_item(1, rng=random.Random(1))
+    u2 = du.get_item(1, rng=random.Random(2))
+    assert u1["B_paths"] == u2["B_paths"]
+    np.testing.assert_array_equal(u1["A"], u2["A"])
+    np.testing.assert_array_equal(u1["B"], u2["B"])
+
+    # training stays stochastic (different seeds -> different crops/flips)
+    dt = AlignedDataset(str(tmp_path), phase="test", load_size=286,
+                        crop_size=256)
+    dt.phase = "train"
+    t1 = dt.get_item(0, rng=random.Random(1))
+    t2 = dt.get_item(0, rng=random.Random(2))
+    assert (t1["A"] != t2["A"]).any()
+
+
+def test_wgangp_gradient_penalty_wired(tmp_path):
+    """gan_mode=wgangp with loss.lambda_gp>0 trains with the Lipschitz
+    penalty in the D objective (gradients flow; penalty changes them)."""
+    import jax
+    import jax.numpy as jnp
+    from afcm_tpu.config import get_cfg
+    from afcm_tpu.models.pix2pix_model import build_pix2pix_model
+
+    def build(gp):
+        cfg = get_cfg()
+        from afcm_tpu.config import apply_model_defaults
+        apply_model_defaults(cfg, "pix2pix")
+        cfg.model.G.ngf = 8
+        cfg.model.D.ndf = 8
+        cfg.loss.gan_mode = "wgangp"
+        cfg.loss.lambda_gp = gp
+        return build_pix2pix_model(cfg)
+
+    rng = jax.random.PRNGKey(0)
+    batch = {"A": jnp.zeros((2, 1, 256, 256)) + 0.1,
+             "B": jnp.ones((2, 1, 256, 256)) * 0.5}
+    m0, m1 = build(0.0), build(10.0)
+    s0 = m0.init_state(rng, batch)
+    s1 = m1.init_state(rng, batch)
+    ns0, met0 = m0.train_step(s0, batch, rng)
+    ns1, met1 = m1.train_step(s1, batch, rng)
+    assert all(np.isfinite(float(v)) for v in met1.values())
+    # identical init; the penalty must change the D update
+    d0 = jax.tree.leaves(ns0.params_D)
+    d1 = jax.tree.leaves(ns1.params_D)
+    assert any(np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+               for a, b in zip(d0, d1))

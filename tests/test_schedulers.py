@@ -1,8 +1,12 @@
 """LR schedule policies vs the reference semantics (models/utils.py:43-69).
 
-Each policy is pinned against the closed-form / torch-documented behavior of
-the scheduler the reference instantiates; plateau is additionally exercised
-through its stateful patience path.
+The epoch-indexed policies are pinned against a LIVE torch oracle that
+replays the reference training timeline: scheduler constructed in setup,
+then stepped at the *beginning* of every loop epoch (reference:
+train.py:44, base_model.py:116-123) — so the factor used while loop epoch
+E trains is the post-step value. Plateau is exercised through its
+stateful patience path (its wiring is deliberately fixed vs the
+reference, which never assigns model.metric).
 """
 
 import math
@@ -25,31 +29,59 @@ def _cfg(policy, n_epochs=10, n_epochs_decay=10, lr_decay_iters=3,
     return cfg
 
 
-def test_linear():
+def _torch_reference_factors(cfg, last_epoch):
+    """lr factor per loop epoch under the reference's construction + epoch-
+    start stepping (reference: models/utils.py:43-69, train.py:38-44)."""
+    import torch
+    import warnings
+    s = cfg.scheduler
+    opt = torch.optim.Adam([torch.nn.Parameter(torch.zeros(1))], lr=1.0)
+    policy = s.lr_policy
+    if policy == "linear":
+        def lambda_rule(epoch):
+            return 1.0 - max(0, epoch + s.epoch_count - s.n_epochs) / \
+                float(s.n_epochs_decay + 1)
+        sched = torch.optim.lr_scheduler.LambdaLR(opt, lr_lambda=lambda_rule)
+    elif policy == "step":
+        sched = torch.optim.lr_scheduler.StepLR(
+            opt, step_size=s.lr_decay_iters, gamma=0.1)
+    elif policy == "cosine":
+        sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+            opt, T_max=s.n_epochs, eta_min=0)
+    factors = {}
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # step-before-optimizer warning
+        for e in range(s.epoch_count, last_epoch + 1):
+            sched.step()  # reference steps at the START of each loop epoch
+            factors[e] = opt.param_groups[0]["lr"]
+    return factors
+
+
+@pytest.mark.parametrize("policy,kwargs", [
+    ("linear", {}),
+    ("linear", {"epoch_count": 5}),
+    ("step", {"lr_decay_iters": 3}),
+    ("cosine", {"n_epochs": 10}),
+])
+def test_epoch_policies_match_torch_reference(policy, kwargs):
+    cfg = _cfg(policy, **kwargs)
+    last = cfg.scheduler.n_epochs + cfg.scheduler.n_epochs_decay + \
+        cfg.scheduler.epoch_count - 1
+    want = _torch_reference_factors(cfg, last)
+    for e, f in want.items():
+        assert lr_factor(e, cfg) == pytest.approx(f, abs=1e-9), \
+            f"{policy} epoch {e}: ours {lr_factor(e, cfg)} vs torch {f}"
+
+
+def test_linear_endpoints():
     cfg = _cfg("linear")
-    # flat through n_epochs, then linear to ~0 over n_epochs_decay+1
+    # flat until the decay begins at loop epoch n_epochs; the reference
+    # trains its final loop epoch (n+decay) at factor 0 (LambdaLR stepped
+    # at epoch start) — faithful, if quirky.
     assert lr_factor(1, cfg) == 1.0
-    assert lr_factor(10, cfg) == 1.0
-    assert lr_factor(11, cfg) == pytest.approx(1.0 - 1 / 11.0)
-    assert lr_factor(20, cfg) == pytest.approx(1.0 - 10 / 11.0)
-
-
-def test_step():
-    cfg = _cfg("step", lr_decay_iters=3)
-    # torch StepLR(gamma=0.1, step_size=3): 0.1 ** (t // 3)
-    got = [lr_factor(e, cfg) for e in range(1, 8)]
-    assert got == pytest.approx(
-        [1.0, 1.0, 1.0, 0.1, 0.1, 0.1, 0.01])
-
-
-def test_cosine():
-    cfg = _cfg("cosine", n_epochs=10)
-    # torch CosineAnnealingLR(T_max=10, eta_min=0)
-    for e in range(1, 12):
-        t = e - 1
-        want = (1 + math.cos(math.pi * t / 10)) / 2
-        assert lr_factor(e, cfg) == pytest.approx(want)
-    assert lr_factor(11, cfg) == pytest.approx(0.0)
+    assert lr_factor(9, cfg) == 1.0
+    assert lr_factor(10, cfg) == pytest.approx(1.0 - 1 / 11.0)
+    assert lr_factor(20, cfg) == pytest.approx(0.0)
 
 
 def test_plateau_patience():
