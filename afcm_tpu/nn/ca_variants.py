@@ -36,8 +36,21 @@ def pixel_shuffle(x, scale_factor):
     return x.reshape(n, c * s * s, oh, ow)
 
 
+def _torch_conv_init(fan_in: float):
+    """torch nn.Conv2d default kaiming_uniform(a=sqrt(5)): U[-b, b] with
+    b = 1/sqrt(fan_in), fan_in = I*k*k. Computed explicitly because jax's
+    variance_scaling derives fan_in from the trailing axes (assuming an
+    (..., in, out) layout), which is wrong for OIHW kernels."""
+    bound = 1 / np.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
 class _PlainConv(nn.Module):
-    """torch-default Conv2d(k3, p1) with bias."""
+    """torch-default Conv2d(k3, p1) with bias. Parameters are stored at
+    their torch values (no offsets) so utils/port.py stays mechanical."""
 
     in_channels: int
     out_channels: int
@@ -47,16 +60,13 @@ class _PlainConv(nn.Module):
     def __call__(self, x):
         k = self.kernel_size
         fan_in = self.in_channels * k * k
-        bound = 1 / np.sqrt(fan_in)
-        w = self.param("weight",
-                       nn.initializers.variance_scaling(1 / 3, "fan_in",
-                                                        "uniform"),
+        w = self.param("weight", _torch_conv_init(fan_in),
                        (self.out_channels, self.in_channels, k, k))
-        b = self.param("bias", nn.initializers.uniform(scale=2 * bound),
+        b = self.param("bias", _torch_conv_init(fan_in),
                        (self.out_channels,))
         from ..ops.modulated_conv import conv2d
         return conv2d(x, w, padding=k // 2) + \
-            (b - bound)[None, :, None, None].astype(x.dtype)
+            b[None, :, None, None].astype(x.dtype)
 
 
 class ConvNorm(nn.Module):
@@ -76,12 +86,11 @@ class ConvNorm(nn.Module):
                     mode="reflect")
         from jax import lax
         from ..ops.modulated_conv import _DN
-        w = self.param("weight",
-                       nn.initializers.variance_scaling(1 / 3, "fan_in",
-                                                        "uniform"),
+        fan_in = self.in_feat * self.kernel_size * self.kernel_size
+        w = self.param("weight", _torch_conv_init(fan_in),
                        (self.out_feat, self.in_feat, self.kernel_size,
                         self.kernel_size))
-        b = self.param("bias", nn.initializers.zeros, (self.out_feat,))
+        b = self.param("bias", _torch_conv_init(fan_in), (self.out_feat,))
         x = lax.conv_general_dilated(x, w.astype(x.dtype),
                                      (self.stride, self.stride),
                                      ((0, 0), (0, 0)), dimension_numbers=_DN)
@@ -285,29 +294,6 @@ class CASynthesisNetwork(nn.Module):
         return PixShuffleTailBlock(self.inter_channels_out,
                                    self.img_channels_out, depth=1,
                                    name="d_torgb")(img)
-
-
-class CASynthesisBlockNet(nn.Module):
-    """One CAIN residual block built from SynthesisBlock with channel
-    attention and no upsampling (reference: layers.py:455-526)."""
-
-    channels: int
-    w_dim: int
-    resolution: int
-    reduction: int = 16
-    conv_clamp: Optional[float] = None
-
-    @nn.compact
-    def __call__(self, x, ws, noise_mode: str = "random"):
-        block = SynthesisBlock(self.channels, self.channels, w_dim=self.w_dim,
-                               global_w_dim=0, resolution=self.resolution,
-                               img_channels=1, is_last=False, up=1,
-                               to_rgb=False, architecture="resnet",
-                               conv_clamp=self.conv_clamp, cond_mod=False,
-                               channel_attention=True, name="block")
-        x, _ = block(x, None, ws, None, include_skip=False,
-                     noise_mode=noise_mode)
-        return x
 
 
 class CAINSynthesisNetwork(nn.Module):

@@ -121,19 +121,40 @@ class MinibatchStdLayer(nn.Module):
         return jnp.concatenate([x, y.astype(x.dtype)], axis=1)
 
 
+def _torch_default_init(fan_in: int):
+    """torch nn.Conv2d/Linear default: kaiming_uniform(a=sqrt(5)) kernels
+    and U[-1/sqrt(fan_in), 1/sqrt(fan_in)] biases — both reduce to the
+    same uniform bound."""
+    bound = 1 / np.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
 class CALayer(nn.Module):
-    """Squeeze-excite channel attention (RCAB-style)."""
+    """Squeeze-excite channel attention (RCAB-style).
+
+    The reference builds conv_du from plain 1x1 nn.Conv2d layers
+    (reference: CoModGAN/layers.py:795-811), so the Dense layers here use
+    torch's default init (uniform kernel AND bias) rather than flax's
+    lecun_normal/zeros — keeps training-from-init dynamics comparable."""
 
     channels: int
     reduction: int = 16
 
     @nn.compact
     def __call__(self, x):
+        mid = self.channels // self.reduction
         y = jnp.mean(x, axis=(2, 3), keepdims=True)          # [N, C, 1, 1]
         y = y[:, :, 0, 0]
-        y = nn.Dense(self.channels // self.reduction, name="down")(y)
+        y = nn.Dense(mid, name="down",
+                     kernel_init=_torch_default_init(self.channels),
+                     bias_init=_torch_default_init(self.channels))(y)
         y = jax.nn.relu(y)
-        y = nn.Dense(self.channels, name="up")(y)
+        y = nn.Dense(self.channels, name="up",
+                     kernel_init=_torch_default_init(mid),
+                     bias_init=_torch_default_init(mid))(y)
         y = jax.nn.sigmoid(y)[:, :, None, None]
         return x * y, y
 

@@ -59,10 +59,15 @@ class _Norm(nn.Module):
             mean = jnp.mean(x, axis=(2, 3), keepdims=True)
             var = jnp.var(x, axis=(2, 3), keepdims=True)
             return (x - mean) * jax.lax.rsqrt(var + 1e-5)
-        # batch norm with running stats (affine), torch defaults
-        scale = self.param("scale",
-                           nn.initializers.normal(self.init_gain),
-                           (self.features,)) + 1.0
+        # batch norm with running stats (affine). gamma is stored at its
+        # torch value (N(1, init_gain), reference models/utils.py:99-101) —
+        # no call-time offset, so state_dict ports stay value-mechanical.
+        gain = self.init_gain
+
+        def gamma_init(key, shape, dtype=jnp.float32):
+            return 1.0 + gain * jax.random.normal(key, shape, dtype)
+
+        scale = self.param("scale", gamma_init, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((self.features,)))
@@ -133,7 +138,7 @@ class UnetSkipConnectionBlock(nn.Module):
         if not self.outermost:
             h = jnp.where(h >= 0, h, 0.2 * h)  # leaky relu before down conv
         h = _conv(h, down_w)
-        if not self.outermost and use_bias:
+        if use_bias:  # upstream builds every downconv with bias=use_bias
             down_b = self.param("down_b", nn.initializers.zeros, (self.inner_nc,))
             h = h + down_b[None, :, None, None]
         if not (self.outermost or self.innermost):
@@ -262,11 +267,18 @@ class PixelDiscriminator(nn.Module):
         b = self.param("b0", nn.initializers.zeros, (self.ndf,))
         x = _conv(x, w, stride=1, padding=0) + b[None, :, None, None]
         x = jnp.where(x >= 0, x, 0.2 * x)
+        use_bias = self.norm == "instance"
         w = self.param("w1", _winit, (self.ndf * 2, self.ndf, 1, 1))
         x = _conv(x, w, stride=1, padding=0)
+        if use_bias:
+            b = self.param("b1", nn.initializers.zeros, (self.ndf * 2,))
+            x = x + b[None, :, None, None]
         x = _Norm(self.ndf * 2, self.norm, self.init_gain,
                   name="norm1")(x, train)
         x = jnp.where(x >= 0, x, 0.2 * x)
         w = self.param("w2", _winit, (1, self.ndf * 2, 1, 1))
-        b = self.param("b2", nn.initializers.zeros, (1,))
-        return _conv(x, w, stride=1, padding=0) + b[None, :, None, None]
+        x = _conv(x, w, stride=1, padding=0)
+        if use_bias:
+            b = self.param("b2", nn.initializers.zeros, (1,))
+            x = x + b[None, :, None, None]
+        return x

@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 from .modulated_conv import conv2d
+from .filter_design import filter_size
 from .upfirdn2d import parse_padding, upfirdn2d
 
 
@@ -25,7 +26,7 @@ def conv2d_resample(x, w, f=None, up: int = 1, down: int = 1, padding=0,
     """2D conv with optional up/downsampling (padding w.r.t. upsampled image)."""
     assert x.ndim == 4 and w.ndim == 4
     out_channels, in_channels_per_group, kh, kw = w.shape
-    fw, fh = (1, 1) if f is None else (int(np.shape(f)[-1]), int(np.shape(f)[0]))
+    fw, fh = filter_size(f)
     px0, px1, py0, py1 = parse_padding(padding)
 
     # Adjust padding to account for up/downsampling

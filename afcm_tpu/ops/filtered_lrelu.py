@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .bias_act import bias_act as _bias_act_fn
+from .filter_design import filter_size
 from .upfirdn2d import parse_padding
 from .upfirdn2d import upfirdn2d as _upfirdn2d_fn
 
@@ -159,15 +160,10 @@ def filtered_lrelu(x, fu=None, fd=None, b=None, up=1, down=1, padding=0,
 def filtered_lrelu_output_size(in_size, fu, fd, up, down, padding):
     """Static output (h, w) for the given configuration."""
     px0, px1, py0, py1 = parse_padding(padding)
-    fu_w, fu_h = _filter_wh(fu)
-    fd_w, fd_h = _filter_wh(fd)
+    fu_w, fu_h = filter_size(fu)
+    fd_w, fd_h = filter_size(fd)
     in_h, in_w = in_size
     out_w = (in_w * up + (px0 + px1) - (fu_w - 1) - (fd_w - 1) + (down - 1)) // down
     out_h = (in_h * up + (py0 + py1) - (fu_h - 1) - (fd_h - 1) + (down - 1)) // down
     return out_h, out_w
 
-
-def _filter_wh(f):
-    if f is None:
-        return 1, 1
-    return int(f.shape[-1]), int(f.shape[0])

@@ -24,6 +24,8 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from .filter_design import filter_size
 from jax import lax
 
 _DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1), ("NCHW", "OIHW", "NCHW"))
@@ -164,7 +166,7 @@ def upfirdn2d(x, f, up=1, down=1, padding=0, flip_filter=False, gain=1,
     px0, px1, py0, py1 = parse_padding(padding)
 
     _, _, in_h, in_w = x.shape
-    fw, fh = (1, 1) if f is None else (f.shape[-1], f.shape[0])
+    fw, fh = filter_size(f)
     up_w = in_w * upx + px0 + px1
     up_h = in_h * upy + py0 + py1
     assert up_w >= fw and up_h >= fh, "upsampled buffer smaller than filter"
@@ -203,7 +205,7 @@ def filter2d(x, f, padding=0, flip_filter=False, gain=1):
     """Filter NCHW images, output padded to match the input shape."""
     f = _as_np_filter(f)
     padx0, padx1, pady0, pady1 = parse_padding(padding)
-    fw, fh = (1, 1) if f is None else (f.shape[-1], f.shape[0])
+    fw, fh = filter_size(f)
     p = [padx0 + fw // 2, padx1 + (fw - 1) // 2,
          pady0 + fh // 2, pady1 + (fh - 1) // 2]
     return upfirdn2d(x, f, padding=p, flip_filter=flip_filter, gain=gain)
@@ -214,7 +216,7 @@ def upsample2d(x, f, up=2, padding=0, flip_filter=False, gain=1):
     upx, upy = parse_scaling(up)
     padx0, padx1, pady0, pady1 = parse_padding(padding)
     f = _as_np_filter(f)
-    fw, fh = (1, 1) if f is None else (f.shape[-1], f.shape[0])
+    fw, fh = filter_size(f)
     p = [padx0 + (fw + upx - 1) // 2, padx1 + (fw - upx) // 2,
          pady0 + (fh + upy - 1) // 2, pady1 + (fh - upy) // 2]
     return upfirdn2d(x, f, up=up, padding=p, flip_filter=flip_filter,
@@ -226,7 +228,7 @@ def downsample2d(x, f, down=2, padding=0, flip_filter=False, gain=1):
     downx, downy = parse_scaling(down)
     padx0, padx1, pady0, pady1 = parse_padding(padding)
     f = _as_np_filter(f)
-    fw, fh = (1, 1) if f is None else (f.shape[-1], f.shape[0])
+    fw, fh = filter_size(f)
     p = [padx0 + (fw - downx + 1) // 2, padx1 + (fw - downx) // 2,
          pady0 + (fh - downy + 1) // 2, pady1 + (fh - downy) // 2]
     return upfirdn2d(x, f, down=down, padding=p, flip_filter=flip_filter, gain=gain)

@@ -136,3 +136,29 @@ def test_styleganv_generator_and_discriminator(rng):
     dvars = disc.init(jax.random.PRNGKey(0), frames, c, delta_t)
     logits = disc.apply(dvars, frames, c, delta_t)
     assert logits.shape == (2, 1)
+
+
+def test_plain_conv_torch_default_init():
+    """_PlainConv/ConvNorm use torch Conv2d's default init: U[-b, b] with
+    b = 1/sqrt(I*k*k) — jax's variance_scaling computed fan_in from the
+    wrong axes on OIHW kernels (k*O*I), shrinking the bound by sqrt(k/O)."""
+    import jax
+    import numpy as np
+    import torch
+    from afcm_tpu.nn.ca_variants import _PlainConv
+
+    conv = _PlainConv(16, 64, kernel_size=3)
+    params = conv.init(jax.random.PRNGKey(0),
+                       np.zeros((1, 16, 8, 8), np.float32))["params"]
+    w = np.asarray(params["weight"])
+    b = np.asarray(params["bias"])
+
+    ref = torch.nn.Conv2d(16, 64, 3, padding=1)
+    expect = 1 / np.sqrt(16 * 9)
+    assert abs(float(ref.weight.detach().abs().max()) - expect) < expect * 0.1
+    assert w.max() <= expect and w.min() >= -expect
+    assert w.max() > 0.8 * expect            # actually fills the range
+    assert b.max() <= expect and b.min() >= -expect
+    # no call-time offsets: effective bias == stored bias
+    out = conv.apply({"params": params}, np.zeros((1, 16, 8, 8), np.float32))
+    np.testing.assert_allclose(np.asarray(out)[0, :, 4, 4], b, atol=1e-6)
