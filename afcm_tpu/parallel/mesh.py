@@ -30,8 +30,10 @@ def make_mesh(mesh_shape: Sequence[int] = (0, 1),
         model = 1
     if data <= 0:
         data = len(devices) // model
-    assert data * model <= len(devices), \
-        f"mesh {data}x{model} needs more than {len(devices)} devices"
+    if data < 1 or data * model > len(devices):
+        raise ValueError(
+            f"mesh {mesh_shape} cannot be built from {len(devices)} devices "
+            f"(resolved data={data}, model={model})")
     dev_array = np.asarray(devices[:data * model]).reshape(data, model)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
@@ -130,7 +132,7 @@ def collective_census(hlo_text: str) -> Dict[str, Dict[str, int]]:
     # a matching `<op>-done` that only forwards the result (not re-counted).
     op_re = re.compile(
         r"=\s*(?P<result>[^=]*?)\s*"
-        r"(?P<op>" + "|".join(_COLLECTIVES) + r")(?:-start)?\(")
+        r"(?P<op>" + "|".join(_COLLECTIVES) + r")(?P<start>-start)?\(")
     census = {op: {"count": 0, "bytes": 0} for op in _COLLECTIVES}
     for line in hlo_text.splitlines():
         m = op_re.search(line)
@@ -139,7 +141,12 @@ def collective_census(hlo_text: str) -> Dict[str, Dict[str, int]]:
         op = m.group("op")
         census[op]["count"] += 1
         nbytes = 0
-        for dtype, dims in shape_re.findall(m.group("result")):
+        shapes = shape_re.findall(m.group("result"))
+        if m.group("start") and len(shapes) > 1:
+            # async -start ops return a (operand, result) buffer tuple; only
+            # the final shape is the transferred result — don't double-count.
+            shapes = shapes[-1:]
+        for dtype, dims in shapes:
             if dtype not in _DTYPE_BYTES:
                 continue
             n = 1

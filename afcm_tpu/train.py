@@ -92,15 +92,13 @@ def train(cfg, max_iters: Optional[int] = None) -> Dict[str, float]:
 
     model = build_model(cfg)
     rng, init_rng = jax.random.split(rng)
-    sample_batch = next(iter(loaders["train"]))
-    sample_batch = {k: jnp.asarray(v) for k, v in sample_batch.items()
-                    if k in ("A", "B", "slice_idx")}
-    if "slice_idx" not in sample_batch:
-        # slice-conditioned models (c_dim > 0) read batch["slice_idx"];
-        # image-folder/template datasets carry no fractional position, so
-        # feed zeros (= integer slice, matching _slice_idx_of)
-        sample_batch["slice_idx"] = jnp.asarray(
-            _slice_idx_of({k: np.asarray(v) for k, v in sample_batch.items()}))
+    raw_batch = next(iter(loaders["train"]))
+    # slice-conditioned models (c_dim > 0) read batch["slice_idx"];
+    # image-folder/template datasets carry no fractional position, so
+    # _slice_idx_of feeds zeros (= integer slice) for those.
+    sample_batch = {"A": jnp.asarray(raw_batch["A"]),
+                    "B": jnp.asarray(raw_batch["B"]),
+                    "slice_idx": jnp.asarray(_slice_idx_of(raw_batch))}
     state = model.init_state(init_rng, sample_batch)
 
     run_dir = f"{cfg.checkpoints_dir}/{cfg.name}"
@@ -147,16 +145,16 @@ def train(cfg, max_iters: Optional[int] = None) -> Dict[str, float]:
         state = state.with_lr(cfg.optimizer.lr_G * factor,
                               cfg.optimizer.lr_D * factor)
         iter_data_time = time.time()
+        epoch_iter = 0  # per-epoch image counter (reference train.py:39,55)
 
         for batch in loaders["train"]:
             iter_start = time.time()
             t_data = iter_start - iter_data_time
             total_iters += cfg.loaders.batch_size
+            epoch_iter += cfg.loaders.batch_size
 
-            device_batch = {k: v for k, v in batch.items()
-                            if k in ("A", "B", "slice_idx")}
-            if "slice_idx" not in device_batch:
-                device_batch["slice_idx"] = _slice_idx_of(batch)
+            device_batch = {"A": batch["A"], "B": batch["B"],
+                            "slice_idx": _slice_idx_of(batch)}
             if multi_device:
                 device_batch = shard_batch(device_batch, mesh)
             else:
@@ -192,7 +190,9 @@ def train(cfg, max_iters: Optional[int] = None) -> Dict[str, float]:
             if total_iters % cfg.trainer.print_freq < cfg.loaders.batch_size:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 t_comp = (time.time() - iter_start) / cfg.loaders.batch_size
-                visualizer.print_current_losses(epoch, total_iters, metrics,
+                # per-epoch counter, matching the reference's epoch_iter
+                # (reference train.py:64 resets it every epoch)
+                visualizer.print_current_losses(epoch, epoch_iter, metrics,
                                                 t_comp, t_data)
 
             if total_iters % cfg.trainer.save_latest_freq < cfg.loaders.batch_size:

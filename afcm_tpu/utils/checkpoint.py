@@ -51,8 +51,10 @@ def save_generator_only(state, checkpoint_dir: str, tag: str) -> str:
     payload = {"params": _to_host(state.params_G_ema),
                "moments": _to_host(state.moments_G_ema),
                "constants": _to_host(state.constants_G)}
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.msgpack_serialize(payload))
+    os.replace(tmp, path)
     return path
 
 

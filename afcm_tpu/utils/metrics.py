@@ -58,6 +58,12 @@ def ssim(im_true: np.ndarray, im_test: np.ndarray,
     x = np.asarray(im_true, dtype=np.float64)
     y = np.asarray(im_test, dtype=np.float64)
     assert x.shape == y.shape
+    if min(x.shape) < win_size:
+        # Match the skimage oracle, which raises instead of silently
+        # averaging an empty interior crop (NaN).
+        raise ValueError(
+            f"win_size {win_size} exceeds image extent {x.shape}; pass a "
+            "smaller win_size")
     if data_range is None:
         data_range = _default_data_range(im_true)
 

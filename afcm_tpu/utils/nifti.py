@@ -62,14 +62,49 @@ def read_nifti(path: str) -> Tuple[np.ndarray, np.ndarray]:
     data = np.frombuffer(raw, dtype=dtype, count=count,
                          offset=max(vox_offset, 352))
     vol = data.reshape(shape_xyz[::-1])  # C-order over reversed dims = [z,y,x]
-    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
-        slope = scl_slope if scl_slope != 0 else 1.0
-        vol = vol * slope + scl_inter
+    # nibabel convention: NaN/0 slope means "no scaling", NaN inter means 0 —
+    # some writers leave these fields as NaN.
+    slope = scl_slope if np.isfinite(scl_slope) and scl_slope != 0.0 else 1.0
+    inter = scl_inter if np.isfinite(scl_inter) else 0.0
+    if (slope, inter) != (1.0, 0.0):
+        vol = vol * slope + inter
 
     affine = np.eye(4)
     if np.any(srow):
         affine[:3, :] = srow
-    return np.ascontiguousarray(vol), affine
+    else:
+        pixdim = struct.unpack_from("<8f", hdr, 76)
+        qform_code = struct.unpack_from("<h", hdr, 252)[0]
+        if qform_code > 0:
+            affine = _qform_affine(hdr, pixdim)
+        else:
+            # no sform/qform: still honor the voxel spacing from pixdim
+            for i in range(3):
+                affine[i, i] = pixdim[1 + i] if pixdim[1 + i] > 0 else 1.0
+    vol = np.ascontiguousarray(vol)
+    if not vol.flags.writeable:  # frombuffer view pins the raw file bytes
+        vol = vol.copy()
+    return vol, affine
+
+
+def _qform_affine(hdr: bytes, pixdim) -> np.ndarray:
+    """Affine from the quaternion qform fields (NIfTI-1 method 2)."""
+    b, c, d = struct.unpack_from("<3f", hdr, 256)
+    qx, qy, qz = struct.unpack_from("<3f", hdr, 268)
+    a2 = 1.0 - (b * b + c * c + d * d)
+    a = float(np.sqrt(a2)) if a2 > 0 else 0.0
+    rot = np.array([
+        [a * a + b * b - c * c - d * d, 2 * (b * c - a * d), 2 * (b * d + a * c)],
+        [2 * (b * c + a * d), a * a + c * c - b * b - d * d, 2 * (c * d - a * b)],
+        [2 * (b * d - a * c), 2 * (c * d + a * b), a * a + d * d - b * b - c * c],
+    ])
+    qfac = -1.0 if pixdim[0] == -1.0 else 1.0
+    spacing = np.array([pixdim[1] or 1.0, pixdim[2] or 1.0,
+                        (pixdim[3] or 1.0) * qfac])
+    affine = np.eye(4)
+    affine[:3, :3] = rot * spacing
+    affine[:3, 3] = (qx, qy, qz)
+    return affine
 
 
 def write_nifti(path: str, volume: np.ndarray,

@@ -68,21 +68,42 @@ def state_dict_to_variables(state_dict: Mapping[str, "np.ndarray"]) -> Dict:
     return out
 
 
+# Inverse of _CA_RENAMES, keyed on the flax path tail under the (always
+# "ca"-named) CALayer module so the plain ConvNorm also named "down" in RCAB
+# (leaves weight/bias, not kernel/bias under "ca") cannot collide.
+_CA_UNRENAMES = {
+    ("ca", "down", "kernel"): ("ca", "conv_du", "0", "weight"),
+    ("ca", "down", "bias"): ("ca", "conv_du", "0", "bias"),
+    ("ca", "up", "kernel"): ("ca", "conv_du", "2", "weight"),
+    ("ca", "up", "bias"): ("ca", "conv_du", "2", "bias"),
+}
+
+
 def variables_to_state_dict(variables: Mapping) -> Dict[str, np.ndarray]:
     """Flatten afcm_tpu variables back into a reference-style state_dict
-    (inverse of `state_dict_to_variables`, filters excluded)."""
+    (inverse of `state_dict_to_variables`: CALayer Dense kernels transpose
+    back to [out,in,1,1] conv_du weights, constants are emitted; the
+    construction-time filters that the forward direction drops are the only
+    keys that do not round-trip — the reference recomputes them too)."""
     out: Dict[str, np.ndarray] = {}
 
     def walk(node, prefix):
         for k, v in node.items():
-            path = f"{prefix}.{k}" if prefix else k
+            parts = prefix + [k]
             if isinstance(v, Mapping):
-                walk(v, path)
-            else:
-                out[path] = np.asarray(v)
+                walk(v, parts)
+                continue
+            v = np.asarray(v)
+            tail = tuple(parts[-3:])
+            if tail in _CA_UNRENAMES:
+                if parts[-1] == "kernel":
+                    v = v.T[:, :, None, None]  # [in,out] -> [out,in,1,1]
+                parts = parts[:-3] + list(_CA_UNRENAMES[tail])
+            out[".".join(parts)] = v
 
-    walk(variables.get("params", {}), "")
-    walk(variables.get("moments", {}), "")
+    walk(variables.get("params", {}), [])
+    walk(variables.get("moments", {}), [])
+    walk(variables.get("constants", {}), [])
     return out
 
 

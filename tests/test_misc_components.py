@@ -92,3 +92,14 @@ def test_unaligned_and_single_dataset(image_root):
     single = SingleDataset(os.path.join(image_root, "trainA"), load_size=64,
                            crop_size=64)
     assert single.get_item(0)["A"].shape == (1, 64, 64)
+
+
+def test_ssim_rejects_small_extent(rng):
+    """skimage parity: win_size larger than any dim raises instead of
+    silently returning NaN from an empty interior crop."""
+    from afcm_tpu.utils.metrics import ssim
+    a = rng.rand(5, 32, 32)
+    with pytest.raises(ValueError, match="win_size"):
+        ssim(a, a)
+    # a smaller window still works
+    assert ssim(a, a, win_size=5) == pytest.approx(1.0)

@@ -57,19 +57,31 @@ def test_replica_consistency_passes_on_replicated():
 def test_port_round_trip():
     from afcm_tpu.utils.port import (state_dict_to_variables,
                                      variables_to_state_dict)
+    rng = np.random.RandomState(0)
     sd = {"mapping.fc0.weight": np.ones((4, 3)),
           "mapping.fc0.bias": np.zeros((4,)),
           "mapping.w_avg": np.full((4,), 0.5),
           "synthesis.encoder_0.magnitude_ema": np.asarray(1.0),
-          "synthesis.encoder_0.up_filter": np.ones((12,))}
+          "synthesis.encoder_0.up_filter": np.ones((12,)),
+          # CALayer 1x1 convs flatten to flax Dense kernels and back
+          "synthesis.encoder_1.ca.conv_du.0.weight": rng.randn(2, 8, 1, 1),
+          "synthesis.encoder_1.ca.conv_du.0.bias": rng.randn(2),
+          "synthesis.encoder_1.ca.conv_du.2.weight": rng.randn(8, 2, 1, 1),
+          "synthesis.encoder_1.ca.conv_du.2.bias": rng.randn(8),
+          # per-construction constants round-trip through 'constants'
+          "synthesis.input.freqs": rng.randn(32, 2),
+          "synthesis.input.phases": rng.randn(32)}
     variables = state_dict_to_variables(sd)
     assert "w_avg" in variables["moments"]["mapping"]
     assert "up_filter" not in str(variables)
+    assert variables["params"]["synthesis"]["encoder_1"]["ca"]["down"][
+        "kernel"].shape == (8, 2)
+    assert "freqs" in variables["constants"]["synthesis"]["input"]
     back = variables_to_state_dict(variables)
-    assert set(back) == {"mapping.fc0.weight", "mapping.fc0.bias",
-                         "mapping.w_avg",
-                         "synthesis.encoder_0.magnitude_ema"}
-    np.testing.assert_array_equal(back["mapping.fc0.weight"], sd["mapping.fc0.weight"])
+    assert set(back) == set(sd) - {"synthesis.encoder_0.up_filter"}
+    for key in back:
+        np.testing.assert_array_equal(back[key], np.asarray(sd[key]),
+                                      err_msg=key)
 
 
 def test_template_model_trains():

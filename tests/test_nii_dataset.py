@@ -70,3 +70,47 @@ def test_nii_test_loaders(nii_root):
     a, slice_idx, indices = next(iter(loaders[0]))
     assert a.shape[1:] == (4, 96, 96)
     assert len(indices) == a.shape[0]
+
+
+def test_nifti_header_edge_cases(tmp_path, rng):
+    """Fields some writers leave degenerate: NaN scl_slope (= no scaling,
+    the nibabel convention), qform-only affines, pixdim-only spacing; the
+    returned volume must be writeable (not a frombuffer view)."""
+    import struct
+
+    from afcm_tpu.utils.nifti import read_nifti
+
+    vol = (rng.rand(4, 8, 8) * 100).astype(np.float32)
+    path = str(tmp_path / "edge.nii")
+    write_nifti(path, vol)
+    with open(path, "rb") as f:
+        raw = bytearray(f.read())
+
+    # NaN scl_slope / scl_inter -> no scaling applied
+    struct.pack_into("<f", raw, 112, float("nan"))
+    struct.pack_into("<f", raw, 116, float("nan"))
+    with open(path, "wb") as f:
+        f.write(raw)
+    got, affine = read_nifti(path)
+    np.testing.assert_array_equal(got, vol)
+    assert got.flags.writeable
+    got[0, 0, 0] = -1.0  # must not raise
+
+    # qform-only (srow zeroed, identity quaternion, anisotropic pixdim)
+    struct.pack_into("<48x", raw, 280)                   # zero srow
+    struct.pack_into("<8f", raw, 76, 1.0, 0.98, 0.98, 3.0, 1, 1, 1, 1)
+    struct.pack_into("<3f", raw, 268, 10.0, -20.0, 30.0)  # qoffset
+    with open(path, "wb") as f:
+        f.write(raw)
+    _, affine = read_nifti(path)
+    np.testing.assert_allclose(np.diag(affine)[:3], [0.98, 0.98, 3.0],
+                               rtol=1e-6)
+    np.testing.assert_allclose(affine[:3, 3], [10.0, -20.0, 30.0], rtol=1e-6)
+
+    # no sform, no qform -> spacing still honored from pixdim
+    struct.pack_into("<h", raw, 252, 0)                  # qform_code = 0
+    with open(path, "wb") as f:
+        f.write(raw)
+    _, affine = read_nifti(path)
+    np.testing.assert_allclose(np.diag(affine)[:3], [0.98, 0.98, 3.0],
+                               rtol=1e-6)

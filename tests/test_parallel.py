@@ -104,7 +104,8 @@ def test_collective_census_parser():
 """
     census = collective_census(hlo)
     assert census["all-reduce"]["count"] == 2          # plain + start, no done
-    assert census["all-reduce"]["bytes"] == 64 * 32 * 4 + 2 * 16 * 4
+    # the -start tuple is (operand, result) buffers: only the result counts
+    assert census["all-reduce"]["bytes"] == 64 * 32 * 4 + 16 * 4
     assert census["all-gather"]["count"] == 1
     assert census["all-gather"]["bytes"] == 8 * 128 * 4
     assert "reduce-scatter" not in census
@@ -239,3 +240,11 @@ def test_sharded_predictor_matches_single_device(rng, tmp_path):
     sharded = shard_params(jax.tree.map(jnp.copy, state), mesh)
     got = run(sharded, mesh, tmp_path / "mesh")
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_make_mesh_rejects_oversized_model_axis():
+    import pytest
+
+    from afcm_tpu.parallel import make_mesh
+    with pytest.raises(ValueError, match="mesh"):
+        make_mesh((0, 1024))  # model axis larger than the device count
