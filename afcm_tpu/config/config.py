@@ -219,3 +219,27 @@ def default_argument_parser(argv: Optional[List[str]] = None) -> CfgNode:
                         help="dotted-key config overrides: KEY VALUE ...")
     args = parser.parse_args(argv)
     return setup(args)
+
+
+def pop_flag(argv: List[str], name: str, has_value: bool = True):
+    """Extract an ad-hoc ``--name value`` / ``--name=value`` (or boolean
+    ``--name``) flag from an argv list in place.
+
+    Returns the value string (or True for boolean flags) when present,
+    else None (False). Shared by the serve/export CLIs for their few
+    driver-local flags that live outside the config tree.
+    """
+    for i, tok in enumerate(argv):
+        if tok == name:
+            if not has_value:
+                del argv[i]
+                return True
+            if i + 1 >= len(argv):
+                raise SystemExit(f"{name} requires a value")
+            value = argv[i + 1]
+            del argv[i:i + 2]
+            return value
+        if has_value and tok.startswith(name + "="):
+            del argv[i]
+            return tok[len(name) + 1:]
+    return None if has_value else False

@@ -49,12 +49,17 @@ def fetch_dtype_or_none(fetch_dtype):
             if fetch_dtype not in (None, "float32") else None)
 
 
+def checkpoint_tag(cfg) -> str:
+    """The checkpoint tag the CLIs load: ``cfg.epoch`` or "latest"."""
+    return str(cfg.epoch) if cfg.epoch else "latest"
+
+
 def init_and_load_state(cfg, model, tag: Optional[str] = None):
     """Initialize a state skeleton from the config's shapes and restore the
     checkpoint (``cfg.epoch`` or "latest"). Shared by the evaluate and
     serving-export CLIs."""
     run_dir = os.path.join(cfg.checkpoints_dir, cfg.name)
-    tag = tag or (str(cfg.epoch) if cfg.epoch else "latest")
+    tag = tag or checkpoint_tag(cfg)
     rng = jax.random.PRNGKey(0)
     res = cfg.model.G.img_resolution
     dummy = {"A": jnp.zeros((1, cfg.model.G.img_channels_in, res, res)),
@@ -285,8 +290,8 @@ def main(argv=None):
         # prediction (overlap-add is order-independent).
         # (depth comes from cfg.tpu.pipeline_depth via the predictor's config)
         for test_loader in predictor.run_pipelined(get_test_loaders(cfg)):
-            subject = os.path.basename(
-                test_loader.dataset.file_path).split(".")[0]
+            from .infer.predictor import subject_id
+            subject = subject_id(test_loader.dataset.file_path)
 
             # The stitched head-0 volume, bit-identical to reading back the
             # (background-written) predictions0 file — float32 roundtrip.

@@ -136,8 +136,10 @@ def export_eval(model, state, batch_size: Optional[int],
 
 def save_exported(exported, path: str) -> str:
     data = exported.serialize()
-    with open(path, "wb") as f:
-        f.write(data)
+    tmp = f"{path}.tmp.{os.getpid()}"  # atomic: a kill mid-write of the
+    with open(tmp, "wb") as f:         # ~100-250 MB artifact must not leave
+        f.write(data)                  # a truncated file at the real path
+    os.replace(tmp, path)
     return path
 
 
@@ -185,25 +187,17 @@ def serving_forward(exported_or_path, start_counter: int = 0, mesh=None):
 def main(argv=None):
     import sys
     argv = list(sys.argv[1:] if argv is None else argv)
-    output = None
-    if "--output" in argv:
-        i = argv.index("--output")
-        output = argv[i + 1]
-        del argv[i:i + 2]
-    symbolic = "--symbolic-batch" in argv
-    if symbolic:
-        argv.remove("--symbolic-batch")
-    weights_dtype = None
-    if "--weights-dtype" in argv:
-        i = argv.index("--weights-dtype")
-        weights_dtype = argv[i + 1]
-        del argv[i:i + 2]
+    from ..config import default_argument_parser, pop_flag
+    output = pop_flag(argv, "--output")
+    symbolic = pop_flag(argv, "--symbolic-batch", has_value=False)
+    weights_dtype = pop_flag(argv, "--weights-dtype")
 
-    from ..config import default_argument_parser
-    from ..evaluate import detect_norm_range, init_and_load_state
+    from ..evaluate import (checkpoint_tag, detect_norm_range,
+                            ensure_volumetric, init_and_load_state)
     from ..models import build_gan_model
 
     cfg = default_argument_parser(argv)
+    ensure_volumetric(cfg, "afcm_tpu.infer.export")
     # Trace-time precision must match the in-process serving step
     # (evaluate.main applies the same config key before building).
     if cfg.tpu.matmul_precision != "default":
@@ -211,10 +205,10 @@ def main(argv=None):
                           cfg.tpu.matmul_precision)
     model = build_gan_model(cfg)
     run_dir = os.path.join(cfg.checkpoints_dir, cfg.name)
-    tag = str(cfg.epoch) if cfg.epoch else "latest"
+    tag = checkpoint_tag(cfg)  # same default init_and_load_state applies
     res = cfg.model.G.img_resolution
     c_in = cfg.model.G.img_channels_in
-    state = init_and_load_state(cfg, model, tag)
+    state = init_and_load_state(cfg, model)
 
     # uint8 ingest only when the loader will actually ship bytes (it checks
     # the stored volume dtype, not just the transform chain).

@@ -41,7 +41,14 @@ def remove_halo(patch: np.ndarray, index, shape, patch_halo):
         if slicing.stop == max_size:
             p_stop, i_stop = None, max_size
         else:
-            p_stop = -pad if pad != 0 else 1
+            # Broken in the reference (predictor.py:35): pad == 0 sets
+            # p_stop = 1, cropping an interior patch to one voxel against a
+            # full-size index slice (shape-mismatch crash for any overlapping
+            # stride with a zero halo component). Fixed to keep the full
+            # extent — identical for the only reference-reachable case
+            # (single-slice z patches, where slice(0,1) == slice(0,None)) and
+            # matching the native stitcher (_accumulate_native).
+            p_stop = -pad if pad != 0 else None
             i_stop = slicing.stop - pad
         return slice(p_start, p_stop), slice(i_start, i_stop)
 
@@ -56,6 +63,13 @@ def remove_halo(patch: np.ndarray, index, shape, patch_halo):
 
 def _slice_from_pad(pad: int) -> slice:
     return slice(None, None) if pad == 0 else slice(pad, -pad)
+
+
+def subject_id(file_path) -> str:
+    """Subject name from a dataset file path: the basename up to the first
+    dot (handles both ``sub.h5`` and ``sub.nii.gz``). The single source for
+    the name the predictor writes, serve logs, and evaluate scores under."""
+    return os.path.basename(str(file_path)).split(".")[0]
 
 
 class StandardPredictor:
@@ -293,8 +307,7 @@ class StandardPredictor:
 
     def _save_results(self, prediction_maps, normalization_masks, dataset):
         os.makedirs(self.output_dir, exist_ok=True)
-        base = os.path.splitext(os.path.basename(dataset.file_path))[0]
-        base = base.split(".")[0]
+        base = subject_id(dataset.file_path)
         out_paths = [os.path.join(self.output_dir,
                                   f"{base}_predictions{i}.nii.gz")
                      for i in range(len(prediction_maps))]

@@ -23,14 +23,22 @@ _tried = False
 
 
 def _build() -> bool:
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return True
     try:
+        if not os.path.exists(_SRC):
+            # source-less install: trust an existing binary, else fall back
+            return os.path.exists(_SO)
+        # Strictly newer: an equal mtime (fresh checkout, cp -p) may be a
+        # foreign-host -march=native binary — rebuild once to be safe
+        # (SIGILL from a stale binary is not catchable from Python).
+        if (os.path.exists(_SO)
+                and os.path.getmtime(_SO) > os.path.getmtime(_SRC)):
+            return True
+        tmp = f"{_SO}.tmp.{os.getpid()}"  # unique: concurrent builds race
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o",
-             _SO + ".tmp", _SRC],
+             tmp, _SRC],
             check=True, capture_output=True)
-        os.replace(_SO + ".tmp", _SO)
+        os.replace(tmp, _SO)
         return True
     except (OSError, subprocess.CalledProcessError) as exc:
         print(f"[afcm_tpu.native] build failed, using numpy fallback: {exc}")
@@ -43,31 +51,39 @@ def get_native() -> Optional[ctypes.CDLL]:
         if _lib is None and not _tried:
             _tried = True
             if _build():
-                lib = ctypes.CDLL(_SO)
-                i32p = ctypes.POINTER(ctypes.c_int32)
-                f32p = ctypes.POINTER(ctypes.c_float)
-                u8p = ctypes.POINTER(ctypes.c_uint8)
-                u16p = ctypes.POINTER(ctypes.c_uint16)
-                lib.assemble_windows.argtypes = [
-                    u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p,
-                    ctypes.c_int, ctypes.c_int, ctypes.c_float,
-                    ctypes.c_float, f32p]
-                lib.assemble_windows.restype = None
-                lib.accumulate_patches.argtypes = [
-                    f32p, u16p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                    f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p,
-                    i32p, i32p]
-                lib.accumulate_patches.restype = None
-                f64p = ctypes.POINTER(ctypes.c_double)
-                lib.ssim_mean.argtypes = [
-                    f64p, f64p, ctypes.POINTER(ctypes.c_long), ctypes.c_int,
-                    ctypes.c_int, ctypes.c_double, ctypes.c_double,
-                    ctypes.c_double, f64p]
-                lib.ssim_mean.restype = None
-                lib.err_stats.argtypes = [f64p, f64p, ctypes.c_long, f64p]
-                lib.err_stats.restype = None
-                _lib = lib
+                try:
+                    _lib = _load()
+                except OSError as exc:
+                    print(f"[afcm_tpu.native] load failed, using numpy "
+                          f"fallback: {exc}")
         return _lib
+
+
+def _load() -> ctypes.CDLL:
+    lib = ctypes.CDLL(_SO)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    lib.assemble_windows.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        ctypes.c_float, f32p]
+    lib.assemble_windows.restype = None
+    lib.accumulate_patches.argtypes = [
+        f32p, u16p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p,
+        i32p, i32p]
+    lib.accumulate_patches.restype = None
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.ssim_mean.argtypes = [
+        f64p, f64p, ctypes.POINTER(ctypes.c_long), ctypes.c_int,
+        ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, f64p]
+    lib.ssim_mean.restype = None
+    lib.err_stats.argtypes = [f64p, f64p, ctypes.c_long, f64p]
+    lib.err_stats.restype = None
+    return lib
 
 
 def have_native() -> bool:

@@ -29,10 +29,10 @@ def assemble_windows(volume: np.ndarray, window_indices: np.ndarray,
     batch, spw = idx.shape
     d, h, w = volume.shape
     inv_range = 1.0 / (hi - lo)
-    out = np.empty((batch, spw, h, w), dtype=np.float32)
 
     lib = get_native()
     if lib is not None:
+        out = np.empty((batch, spw, h, w), dtype=np.float32)
         lib.assemble_windows(_ptr(volume, ctypes.c_uint8), d, h, w,
                              _ptr(idx, ctypes.c_int32), batch, spw,
                              ctypes.c_float(lo), ctypes.c_float(inv_range),

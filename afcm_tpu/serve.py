@@ -23,18 +23,9 @@ import time
 def main(argv=None):
     import sys
     argv = list(sys.argv[1:] if argv is None else argv)
-    artifact = None
-    if "--artifact" in argv:
-        i = argv.index("--artifact")
-        artifact = argv[i + 1]
-        del argv[i:i + 2]
-    out_dir = None
-    if "--out" in argv:
-        i = argv.index("--out")
-        out_dir = argv[i + 1]
-        del argv[i:i + 2]
-
-    from .config import default_argument_parser
+    from .config import default_argument_parser, pop_flag
+    artifact = pop_flag(argv, "--artifact")
+    out_dir = pop_flag(argv, "--out")
     from .data import get_test_loaders
     from .evaluate import (configure_ops, ensure_volumetric,
                            init_and_load_state, make_forward_fn,
@@ -48,12 +39,16 @@ def main(argv=None):
     out_dir = out_dir or os.path.join(run_dir, "serve")
 
     if artifact is not None:
-        from .infer.export import serving_forward
-        from .parallel import make_mesh_for_batch
-        mesh = make_mesh_for_batch(tuple(cfg.tpu.mesh_shape),
-                                   cfg.loaders.batch_size)
-        forward = serving_forward(
-            artifact, mesh=mesh if mesh.devices.size > 1 else None)
+        from .infer.export import load_exported, serving_forward
+        from .parallel import make_mesh
+        exp = load_exported(artifact)
+        # The artifact dictates the device count (jax.export pins it at
+        # export time); the local mesh config is irrelevant here. A
+        # single-device artifact serves without any sharding; a mesh-exported
+        # one needs exactly nr_devices chips (make_mesh raises otherwise).
+        mesh = (make_mesh((exp.nr_devices, 1))
+                if exp.nr_devices > 1 else None)
+        forward = serving_forward(exp, mesh=mesh)
     else:
         from .models import build_gan_model
         model = build_gan_model(cfg)
@@ -72,7 +67,8 @@ def main(argv=None):
     for loader in predictor.run_pipelined(get_test_loaders(cfg)):
         n_subjects += 1
         n_patches += len(loader.dataset)
-        subject = os.path.basename(loader.dataset.file_path).split(".")[0]
+        from .infer.predictor import subject_id
+        subject = subject_id(loader.dataset.file_path)
         print(f" subject:{subject}  {len(loader.dataset)} patches -> "
               f"{out_dir}", flush=True)
     predictor.wait_for_writes()
