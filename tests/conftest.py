@@ -4,6 +4,19 @@ Must set flags before jax initializes, hence the env mutation at import time.
 """
 
 import os
+import resource
+
+# The XLA CPU compiler has segfaulted mid-suite (twice, always late in the
+# run, inside backend_compile_and_load on a compile that passes in
+# isolation) — consistent with main-thread stack exhaustion on a deep
+# LLVM pass after ~200 prior compiles. The soft stack limit is 8 MB with
+# an unlimited hard cap; raise it before jax loads.
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+_want = 512 * 1024 * 1024
+if _soft != resource.RLIM_INFINITY and _soft < _want:
+    resource.setrlimit(resource.RLIMIT_STACK,
+                       (_want if _hard == resource.RLIM_INFINITY
+                        else min(_want, _hard), _hard))
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")

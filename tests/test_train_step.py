@@ -33,6 +33,15 @@ def _batch(rng, n=2):
             "slice_idx": jnp.asarray(rng.rand(n, 1), jnp.float32)}
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_state():
+    """Drop executables/tracing caches accumulated by the ~200 compiles that
+    precede this module in a full-suite run: the XLA CPU compiler has
+    segfaulted on this module's train-step compiles under that accumulated
+    state (passes in isolation; see CLAUDE.md testing notes)."""
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="module")
 def model():
     return _make_model()
