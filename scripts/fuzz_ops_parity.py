@@ -8,10 +8,12 @@ the breadth complement to tests/test_ops_parity.py's fixed cases.
 
 Prints a summary per op; exits 1 on any mismatch (config printed).
 
-Last full run (n=200, seeds 0 and 1 — 1,590 non-degenerate configs):
-all ops parity-clean at 1e-5 of output scale; the only deltas anywhere
-were fp32 accumulation-order noise at ~3e-7 of scale (float64 reruns of
-those configs agree to 1e-12).
+Last full runs: forwards n=200 x 2 seeds (1,590 non-degenerate configs)
+plus forwards+gradients n=150 x 2 seeds (~1,770 more checks incl. d/dx
+and d/db) — all parity-clean at 1e-5 of output scale. The only deltas
+anywhere were fp32 accumulation-order noise (~3e-7 of scale on forwards;
+up to 2e-4 on cancellation-heavy bias-grad sums), every one adjudicated
+by the float64 recheck (both sides agree to ~1e-13).
 """
 
 import os
@@ -24,6 +26,9 @@ import numpy as np
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# x64 is only used by the float64 adjudication rechecks: python-float
+# scalars stay weakly typed, so the fp32 paths are unaffected.
+jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp  # noqa: E402
 
 from afcm_tpu import ops  # noqa: E402
@@ -32,19 +37,33 @@ from tests._torch_ref import load_reference_ops  # noqa: E402
 FAILURES = []
 
 
-def _check(op_name, cfg, want, got, rtol=1e-5, atol=1e-6):
+def _check(op_name, cfg, want, got, rtol=1e-5, atol=1e-6, recheck64=None):
     """Scale-relative comparison: with unnormalized random taps the outputs
     reach O(1e3) and fp32 accumulation-order noise between two equally-valid
     summation orders is ~3e-7 of the output scale (verified: the same
     configs agree to 1e-12 in float64). Elementwise rtol is meaningless
     under cancellation; a real algorithmic divergence shows up at >=1e-3
-    of scale."""
+    of scale.
+
+    Cancellation-heavy reductions (bias gradients: one scalar summing
+    thousands of signed terms) legitimately exceed the fp32 threshold, so a
+    failing case is adjudicated by ``recheck64`` when provided: recompute
+    both sides in float64 and only report a mismatch if they still differ
+    (threshold 1e-8 of scale; true noise lands at ~1e-13)."""
     if want.shape != got.shape:
         FAILURES.append((op_name, cfg, f"shape {got.shape} vs {want.shape}"))
         return False
     err = float(np.abs(want - got).max())
     scale = float(np.abs(want).max())
     if err > atol + rtol * scale:
+        if recheck64 is not None:
+            want64, got64 = recheck64()
+            err64 = float(np.abs(want64 - got64).max())
+            scale64 = float(np.abs(want64).max())
+            if err64 <= 1e-12 + 1e-8 * scale64:
+                return True  # fp32 accumulation noise, not a divergence
+            err, scale = err64, scale64
+            op_name += "(f64)"
         FAILURES.append((op_name, cfg,
                          f"max abs {err:.3e} = {err / (scale + 1e-30):.3e} "
                          f"of output scale {scale:.3e}"))
@@ -233,6 +252,137 @@ def fuzz_conv2d_resample(ref, rng, n):
     return ok
 
 
+def fuzz_upfirdn2d_grad(ref, rng, n):
+    """d/dx parity through upfirdn2d (reference backward: transposed
+    upfirdn, ops/upfirdn2d.py:231-269; ours: XLA autodiff of the conv
+    formulation)."""
+    torch = ref["torch"]
+    ok = 0
+    for i in range(n):
+        nb, c = rng.randint(1, 3), rng.randint(1, 4)
+        h, w = rng.randint(4, 14), rng.randint(4, 14)
+        up = int(rng.choice([1, 2, 4]))
+        down = int(rng.choice([1, 2, 4]))
+        f = _rand_filter(rng)
+        fh, fw = _fsize(f)
+        px0, px1 = rng.randint(-1, 6, size=2)
+        py0, py1 = rng.randint(-1, 6, size=2)
+        if w * up + px0 + px1 < max(fw, down):
+            px0 = px1 = fw
+        if h * up + py0 + py1 < max(fh, down):
+            py0 = py1 = fh
+        pad = [int(px0), int(px1), int(py0), int(py1)]
+        gain = float(rng.choice([0.5, 1.0, 2.0]))
+        flip = bool(rng.rand() < 0.5)
+        x = rng.randn(nb, c, h, w).astype(np.float32)
+        cfg = dict(i=i, shape=x.shape, up=up, down=down, pad=pad,
+                   f=None if f is None else f.shape, gain=gain, flip=flip)
+
+        tx = torch.from_numpy(x).requires_grad_(True)
+        tf = None if f is None else torch.from_numpy(f)
+        out = ref["upfirdn2d"].upfirdn2d(tx, tf, up=up, down=down,
+                                         padding=pad, flip_filter=flip,
+                                         gain=gain, impl="ref")
+        cot = rng.randn(*out.shape).astype(np.float32)
+        out.backward(torch.from_numpy(cot))
+        want = tx.grad.numpy()
+
+        def loss(xj):
+            o = ops.upfirdn2d(xj, f, up=up, down=down, padding=pad,
+                              flip_filter=flip, gain=gain)
+            return jnp.sum(o * cot.astype(o.dtype))
+        got = np.asarray(jax.grad(loss)(jnp.asarray(x)))
+
+        def recheck64():
+            tx64 = torch.from_numpy(x.astype(np.float64)).requires_grad_(
+                True)
+            o64 = ref["upfirdn2d"].upfirdn2d(tx64, tf, up=up, down=down,
+                                             padding=pad, flip_filter=flip,
+                                             gain=gain, impl="ref")
+            o64.backward(torch.from_numpy(cot.astype(np.float64)))
+            g64 = np.asarray(jax.grad(loss)(jnp.asarray(x, jnp.float64)))
+            return tx64.grad.numpy(), g64
+        ok += _check("upfirdn2d_grad", cfg, want, got, recheck64=recheck64)
+    return ok
+
+
+def fuzz_filtered_lrelu_grad(ref, rng, n):
+    """d/dx and d/db parity through filtered_lrelu — covers the lrelu
+    subgradient-at-0 and clamp-boundary semantics the training step
+    depends on (reference backward: swapped-filter filtered_lrelu,
+    ops/filtered_lrelu.py:238-268)."""
+    torch = ref["torch"]
+    ok = skipped = 0
+    for i in range(n):
+        nb, c = rng.randint(1, 3), rng.randint(1, 4)
+        h, w = rng.randint(6, 14), rng.randint(6, 14)
+        up = int(rng.choice([1, 2, 4]))
+        down = int(rng.choice([1, 2, 4]))
+        fu, fd = _rand_filter(rng), _rand_filter(rng)
+        pad = [int(p) for p in rng.randint(-1, 7, size=4)]
+        gain = float(rng.choice([1.0, np.sqrt(2)]))
+        slope = float(rng.choice([0.0, 0.2]))
+        clamp = None if rng.rand() < 0.5 else 64.0
+        flip = bool(rng.rand() < 0.5)
+        x = rng.randn(nb, c, h, w).astype(np.float32)
+        b = rng.randn(c).astype(np.float32)
+        cfg = dict(i=i, shape=x.shape, up=up, down=down, pad=pad,
+                   fu=None if fu is None else fu.shape,
+                   fd=None if fd is None else fd.shape, gain=gain,
+                   slope=slope, clamp=clamp, flip=flip)
+
+        tx = torch.from_numpy(x).requires_grad_(True)
+        tb = torch.from_numpy(b).requires_grad_(True)
+        tfu = None if fu is None else torch.from_numpy(fu)
+        tfd = None if fd is None else torch.from_numpy(fd)
+        try:
+            out = ref["filtered_lrelu"].filtered_lrelu(
+                tx, fu=tfu, fd=tfd, b=tb, up=up, down=down, padding=pad,
+                gain=gain, slope=slope, clamp=clamp, flip_filter=flip,
+                impl="ref")
+        except Exception:
+            skipped += 1
+            continue
+        if 0 in out.shape:
+            skipped += 1
+            continue
+        cot = rng.randn(*out.shape).astype(np.float32)
+        out.backward(torch.from_numpy(cot))
+        want_x, want_b = tx.grad.numpy(), tb.grad.numpy()
+
+        def loss(xj, bj):
+            o = ops.filtered_lrelu(xj, fu=fu, fd=fd, b=bj, up=up,
+                                   down=down, padding=pad, gain=gain,
+                                   slope=slope, clamp=clamp,
+                                   flip_filter=flip)
+            return jnp.sum(o * cot.astype(o.dtype))
+        got_x, got_b = jax.grad(loss, argnums=(0, 1))(jnp.asarray(x),
+                                                      jnp.asarray(b))
+
+        def _grads64():
+            tx64 = torch.from_numpy(x.astype(np.float64)).requires_grad_(
+                True)
+            tb64 = torch.from_numpy(b.astype(np.float64)).requires_grad_(
+                True)
+            o64 = ref["filtered_lrelu"].filtered_lrelu(
+                tx64, fu=tfu, fd=tfd, b=tb64, up=up, down=down,
+                padding=pad, gain=gain, slope=slope, clamp=clamp,
+                flip_filter=flip, impl="ref")
+            o64.backward(torch.from_numpy(cot.astype(np.float64)))
+            gx64, gb64 = jax.grad(loss, argnums=(0, 1))(
+                jnp.asarray(x, jnp.float64), jnp.asarray(b, jnp.float64))
+            return (tx64.grad.numpy(), np.asarray(gx64),
+                    tb64.grad.numpy(), np.asarray(gb64))
+
+        ok += (_check("filtered_lrelu_grad_x", cfg, want_x,
+                      np.asarray(got_x),
+                      recheck64=lambda: _grads64()[0:2])
+               and _check("filtered_lrelu_grad_b", cfg, want_b,
+                          np.asarray(got_b),
+                          recheck64=lambda: _grads64()[2:4]))
+    return ok, skipped
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 150
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
@@ -244,6 +394,10 @@ def main():
           f"configs skipped)")
     print(f"bias_act: {fuzz_bias_act(ref, rng, n)}/{n} ok")
     print(f"conv2d_resample: {fuzz_conv2d_resample(ref, rng, n)}/{n} ok")
+    print(f"upfirdn2d_grad: {fuzz_upfirdn2d_grad(ref, rng, n)}/{n} ok")
+    ok, skipped = fuzz_filtered_lrelu_grad(ref, rng, n)
+    print(f"filtered_lrelu_grad: {ok}/{n - skipped} ok ({skipped} "
+          f"degenerate configs skipped)")
     if FAILURES:
         print(f"\n{len(FAILURES)} MISMATCHES:")
         for op_name, cfg, msg in FAILURES[:20]:
