@@ -279,10 +279,13 @@ class CoModSynthesisNetwork(nn.Module):
             if res == log2res:
                 img = EFromRGB(self.img_channels_in, self.channels(2 ** res),
                                name="e_fromrgb")(x, img)
+            # channel_attention applies to the synthesis blocks only: the
+            # reference builds these E_blocks without it (generator.py:61
+            # passes no channel_attention; only CASynthesisNetwork's encoder
+            # hardcodes it, generator.py:372 — mirrored in ca_variants.py).
             img, feat = EBlock(self.channels(2 ** res),
                                self.channels(2 ** res // 2),
                                resample_filter=self.resample_filter,
-                               channel_attention=self.channel_attention,
                                name=f"e_b{res}")(img)
             e_features[2 ** res] = feat
 
@@ -300,11 +303,16 @@ class CoModSynthesisNetwork(nn.Module):
         if self.skip_connects[0]:
             seed = seed + e_features[4]
 
-        # Synthesis blocks.
+        # Synthesis blocks. ``resample_filter`` deliberately NOT forwarded:
+        # in the reference it is a named SynthesisNetwork arg consumed by the
+        # E_blocks only (generator.py:61) — the synthesis blocks are built
+        # without it (generator.py:69,78) so they always run the default
+        # [1,3,3,1], and a config-supplied filter can never reach
+        # **block_kwargs. Quirk preserved (verified by
+        # scripts/fuzz_generator_parity.py with resample_filter=[1,2,1]).
         block_kwargs = dict(w_dim=self.w_dim, global_w_dim=global_w_dim,
                             img_channels=self.img_channels_out,
                             architecture=self.architecture,
-                            resample_filter=self.resample_filter,
                             conv_clamp=self.conv_clamp, cond_mod=self.cond_mod,
                             channel_attention=self.channel_attention)
         w_idx = 0

@@ -27,7 +27,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp  # noqa: E402
 
-from afcm_tpu.nn import Stylegan3Generator  # noqa: E402
+from afcm_tpu.nn import CoModGenerator, Stylegan3Generator  # noqa: E402
 from afcm_tpu.utils.port import state_dict_to_variables  # noqa: E402
 from tests._torch_ref import load_reference_networks  # noqa: E402
 
@@ -65,6 +65,84 @@ def _sample_config(rng):
         synth["lrelu_upsampling"] = int(lrelu_up)
     mapping = dict(num_layers=int(rng.choice([1, 2])))
     return cfg, synth, mapping
+
+
+def _sample_comod_config(rng):
+    cfg = dict(
+        z_dim=int(rng.choice([32, 64])),
+        c_dim=int(rng.choice([0, 1, 1])),
+        w_dim=int(rng.choice([32, 64])),
+        img_resolution=int(rng.choice([32, 32, 64])),
+        img_channels_in=int(rng.choice([1, 4])),
+        img_channels_out=int(rng.choice([1, 3])),
+    )
+    synth = dict(
+        channel_base=int(rng.choice([2048, 4096, 8192])),
+        channel_max=int(rng.choice([32, 64, 128])),
+        skip_resolution=int(rng.choice([0, 16, 32])),
+        cond_mod=bool(rng.rand() < 0.7),
+        conv_clamp=None if rng.rand() < 0.5 else 256,
+        channel_attention=bool(rng.rand() < 0.3),
+        resample_filter=[1, 3, 3, 1] if rng.rand() < 0.7 else [1, 2, 1],
+    )
+    mapping = dict(num_layers=int(rng.choice([1, 2])))
+    return cfg, synth, mapping
+
+
+def fuzz_comod(ref, rng, n, failures):
+    """CoModGenerator constructor-space parity (reference:
+    CoModGAN/generator.py:29-125 SynthesisNetwork + layers.py blocks)."""
+    torch = ref["torch"]
+    ok = skipped = 0
+    for i in range(n):
+        cfg, synth, mapping = _sample_comod_config(rng)
+        torch.manual_seed(1000 + i)
+        try:
+            tgen = ref["comod_generator"].CoModGenerator(
+                mapping_kwargs=dict(name="MappingNetwork", **mapping),
+                synthesis_kwargs=dict(name="SynthesisNetwork", **synth),
+                **cfg).eval()
+        except Exception:
+            try:
+                CoModGenerator(mapping_kwargs=dict(mapping),
+                               synthesis_kwargs=dict(synth), **cfg)
+            except Exception:
+                skipped += 1
+                continue
+            failures.append((dict(cfg, **synth),
+                             "reference ctor raised, ours did not"))
+            continue
+
+        res = cfg["img_resolution"]
+        z = rng.randn(2, cfg["z_dim"]).astype(np.float32)
+        c = rng.rand(2, cfg["c_dim"]).astype(np.float32)
+        cond = rng.randn(2, cfg["img_channels_in"], res,
+                         res).astype(np.float32).clip(-1, 1)
+        with torch.no_grad():
+            want = tgen(torch.from_numpy(z), torch.from_numpy(c),
+                        torch.from_numpy(cond), noise_mode="const").numpy()
+
+        gen = CoModGenerator(mapping_kwargs=dict(mapping),
+                             synthesis_kwargs=dict(synth), **cfg)
+        variables = state_dict_to_variables(tgen.state_dict())
+        got = np.asarray(gen.apply(variables, jnp.asarray(z),
+                                   jnp.asarray(c), jnp.asarray(cond),
+                                   noise_mode="const"))
+        label = dict(family="comod", **cfg, **synth)
+        if got.shape != want.shape:
+            failures.append((label, f"shape {got.shape} vs {want.shape}"))
+            continue
+        err = np.abs(want - got)
+        tol = 5e-4 + 5e-3 * np.abs(want)
+        if np.any(err > tol):
+            failures.append(
+                (label, f"max abs {err.max():.3e}, "
+                        f"scale {np.abs(want).max():.3e}"))
+        else:
+            ok += 1
+        print(f"[comod {i + 1}/{n}] ok={ok} skipped={skipped} "
+              f"failed={len(failures)}", flush=True)
+    return ok, skipped
 
 
 def main():
@@ -125,8 +203,9 @@ def main():
         print(f"[{i + 1}/{n}] ok={ok} skipped={skipped} "
               f"failed={len(failures)}", flush=True)
 
-    print(f"\ngenerator parity fuzz: {ok} ok, {skipped} skipped, "
-          f"{len(failures)} failed")
+    cok, cskipped = fuzz_comod(ref, rng, n, failures)
+    print(f"\ngenerator parity fuzz: sg3 {ok} ok/{skipped} skipped, "
+          f"comod {cok} ok/{cskipped} skipped, {len(failures)} failed")
     for label, msg in failures[:10]:
         print(f"  FAIL {msg}\n    {label}")
     sys.exit(1 if failures else 0)
