@@ -196,6 +196,9 @@ class CASynthesisNetwork(nn.Module):
     architecture: str = "skip"
     conv_clamp: Optional[float] = None
     cond_mod: bool = False
+    # Reaches the synthesis blocks via **block_kwargs in the reference
+    # (generator.py:384); the encoder E_blocks hardcode it True regardless.
+    channel_attention: bool = False
 
     inter_channels_out: int = 16  # 4**2
 
@@ -270,11 +273,15 @@ class CASynthesisNetwork(nn.Module):
         if self.skip_connects[0]:
             seed = seed + e_features[4]
 
+        # ``resample_filter`` deliberately NOT forwarded: like the plain
+        # SynthesisNetwork, the reference consumes it as a named ctor arg for
+        # the E_blocks only (generator.py:348,371) — the synthesis blocks are
+        # built from **block_kwargs and always run the default [1,3,3,1].
         block_kwargs = dict(w_dim=self.w_dim, global_w_dim=global_w_dim,
                             img_channels=self.inter_channels_out,
                             architecture=self.architecture,
-                            resample_filter=self.resample_filter,
-                            conv_clamp=self.conv_clamp, cond_mod=self.cond_mod)
+                            conv_clamp=self.conv_clamp, cond_mod=self.cond_mod,
+                            channel_attention=self.channel_attention)
         w_idx = 0
         block = SynthesisBlock(0, ch4, resolution=4, is_last=False,
                                name="block_early", **block_kwargs)
@@ -335,7 +342,8 @@ class CAINSynthesisNetwork(nn.Module):
                     resolution=resolution, img_channels=self.img_channels_out,
                     is_last=False, up=1, to_rgb=False, architecture="resnet",
                     conv_clamp=self.conv_clamp, cond_mod=False,
-                    channel_attention=True, name=f"b{g}_{b}")
+                    channel_attention=True, ca_reduction=self.reduction,
+                    name=f"b{g}_{b}")
                 x, _ = block(x, None, ws[:, ws_idx:ws_idx + block.num_conv],
                              None, include_skip=False, noise_mode=noise_mode)
                 ws_idx += block.num_conv

@@ -52,6 +52,7 @@ class EBlock(nn.Module):
                         resample_filter=self.resample_filter,
                         name="conv_layer1")(x)
         if self.channel_attention:
+            # E_block hardcodes reduction=16 (layers.py:239).
             x, _ = CALayer(self.out_channels, reduction=16, name="ca")(x)
         return x, feature
 
@@ -152,6 +153,10 @@ class SynthesisBlock(nn.Module):
     cond_mod: bool = False
     early_channels: int = 0
     channel_attention: bool = False
+    # CALayer squeeze ratio when channel_attention is on (the reference's
+    # plain SynthesisBlock hardcodes 16, layers.py:393; CASynthesisBlock
+    # exposes it as ``reduction``, layers.py:472 — CAIN configs set it).
+    ca_reduction: int = 16
 
     @property
     def num_conv(self) -> int:
@@ -194,7 +199,8 @@ class SynthesisBlock(nn.Module):
                                   name="conv1", **layer_kwargs)(
                 x, mod_vector, noise_mode=noise_mode, gain=np.sqrt(0.5))
             if self.channel_attention:
-                x, _ = CALayer(self.out_channels, reduction=16, name="ca")(x)
+                x, _ = CALayer(self.out_channels, reduction=self.ca_reduction,
+                                name="ca")(x)
             x = y + x
         else:
             x = SynthesisLayerSG2(self.in_channels, self.out_channels,
@@ -207,7 +213,8 @@ class SynthesisBlock(nn.Module):
                                   name="conv1", **layer_kwargs)(
                 x, mod_vector, noise_mode=noise_mode)
             if self.channel_attention:
-                x, _ = CALayer(self.out_channels, reduction=16, name="ca")(x)
+                x, _ = CALayer(self.out_channels, reduction=self.ca_reduction,
+                                name="ca")(x)
 
         if img is not None:
             img = upsample2d(img, setup_filter(list(self.resample_filter)))

@@ -27,7 +27,8 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp  # noqa: E402
 
-from afcm_tpu.nn import CoModGenerator, Stylegan3Generator  # noqa: E402
+from afcm_tpu.nn import (CoModDiscriminator, CoModGenerator,  # noqa: E402
+                         Stylegan3Generator)
 from afcm_tpu.utils.port import state_dict_to_variables  # noqa: E402
 from tests._torch_ref import load_reference_networks  # noqa: E402
 
@@ -145,6 +146,208 @@ def fuzz_comod(ref, rng, n, failures):
     return ok, skipped
 
 
+def _sample_ca_config(rng):
+    # ref_res is the REFERENCE's img_resolution; ours takes 2*ref_res (we fix
+    # the reference's broken in/out contract: its pixel-shuffle tail emits 2x
+    # the configured resolution — see ca_variants.py CASynthesisNetwork).
+    ref_res = int(rng.choice([8, 16]))
+    common = dict(
+        w_dim=int(rng.choice([8, 16])),
+        img_channels_in=int(rng.choice([1, 4])),
+        img_channels_out=int(rng.choice([1, 3])),
+        channel_base=int(rng.choice([512, 1024, 2048])),
+        channel_max=int(rng.choice([16, 32])),
+        skip_resolution=int(rng.choice([0, 4, 8, ref_res])),
+        resample_filter=[1, 3, 3, 1] if rng.rand() < 0.7 else [1, 2, 1],
+    )
+    block = dict(
+        architecture=str(rng.choice(["skip", "resnet"])),
+        conv_clamp=None if rng.rand() < 0.5 else 256,
+        cond_mod=bool(rng.rand() < 0.7),
+        channel_attention=bool(rng.rand() < 0.3),
+    )
+    return ref_res, common, block
+
+
+def fuzz_ca(ref, rng, n, failures):
+    """CASynthesisNetwork constructor-space parity (reference:
+    generator.py:338-443).  The reference net configured at R consumes and
+    emits 2R images (its forward only type-checks at that size); ours is
+    constructed at img_resolution=2R with the identical module tree."""
+    torch = ref["torch"]
+    from afcm_tpu.nn.ca_variants import CASynthesisNetwork
+    ok = skipped = 0
+    for i in range(n):
+        ref_res, common, block = _sample_ca_config(rng)
+        torch.manual_seed(3000 + i)
+        try:
+            tnet = ref["comod_generator"].CASynthesisNetwork(
+                img_resolution=ref_res, **common, **block).eval()
+        except Exception:
+            skipped += 1
+            continue
+
+        net = CASynthesisNetwork(img_resolution=2 * ref_res, **common, **block)
+        if net.num_ws != tnet.num_ws:
+            failures.append((dict(family="ca", ref_res=ref_res, **common,
+                                  **block),
+                             f"num_ws {net.num_ws} vs {tnet.num_ws}"))
+            continue
+        b = 2
+        ws = rng.randn(b, tnet.num_ws, common["w_dim"]).astype(np.float32)
+        img = rng.randn(b, common["img_channels_in"], 2 * ref_res,
+                        2 * ref_res).astype(np.float32).clip(-1, 1)
+        with torch.no_grad():
+            want = tnet(torch.from_numpy(ws), torch.from_numpy(img),
+                        noise_mode="const").numpy()
+
+        variables = state_dict_to_variables(tnet.state_dict())
+        got = np.asarray(net.apply(variables, jnp.asarray(ws),
+                                   jnp.asarray(img), noise_mode="const"))
+        label = dict(family="ca", ref_res=ref_res, **common, **block)
+        if got.shape != want.shape:
+            failures.append((label, f"shape {got.shape} vs {want.shape}"))
+            continue
+        err = np.abs(want - got)
+        tol = 5e-4 + 5e-3 * np.abs(want)
+        if np.any(err > tol):
+            failures.append(
+                (label, f"max abs {err.max():.3e}, "
+                        f"scale {np.abs(want).max():.3e}"))
+        else:
+            ok += 1
+        print(f"[ca {i + 1}/{n}] ok={ok} skipped={skipped} "
+              f"failed={len(failures)}", flush=True)
+    return ok, skipped
+
+
+def fuzz_cain(ref, rng, n, failures):
+    """CAINSynthesisNetwork constructor-space parity (reference:
+    generator.py:448-541 — pixel-shuffle head/tail, CASynthesisBlock
+    residual groups, configurable CA reduction)."""
+    torch = ref["torch"]
+    from afcm_tpu.nn.ca_variants import CAINSynthesisNetwork
+    ok = skipped = 0
+    for i in range(n):
+        cfg = dict(
+            w_dim=int(rng.choice([8, 16])),
+            img_resolution=int(rng.choice([16, 32])),
+            img_channels_in=int(rng.choice([1, 4])),
+            img_channels_out=1,
+            depth=int(rng.choice([1, 2])),
+            n_resgroups=int(rng.choice([1, 2])),
+            n_resblocks=int(rng.choice([1, 2, 3])),
+            reduction=int(rng.choice([2, 4])),
+        )
+        clamp = None if rng.rand() < 0.5 else 256
+        torch.manual_seed(4000 + i)
+        try:
+            tnet = ref["comod_generator"].CAINSynthesisNetwork(
+                conv_clamp=clamp, **cfg).eval()
+        except Exception:
+            skipped += 1
+            continue
+
+        net = CAINSynthesisNetwork(conv_clamp=clamp, **cfg)
+        b = 2
+        ws = rng.randn(b, tnet.num_ws, cfg["w_dim"]).astype(np.float32)
+        img = rng.randn(b, cfg["img_channels_in"], cfg["img_resolution"],
+                        cfg["img_resolution"]).astype(np.float32).clip(-1, 1)
+        with torch.no_grad():
+            want = tnet(torch.from_numpy(ws), torch.from_numpy(img),
+                        noise_mode="const").numpy()
+
+        variables = state_dict_to_variables(tnet.state_dict())
+        got = np.asarray(net.apply(variables, jnp.asarray(ws),
+                                   jnp.asarray(img), noise_mode="const"))
+        label = dict(family="cain", conv_clamp=clamp, **cfg)
+        if got.shape != want.shape:
+            failures.append((label, f"shape {got.shape} vs {want.shape}"))
+            continue
+        err = np.abs(want - got)
+        tol = 5e-4 + 5e-3 * np.abs(want)
+        if np.any(err > tol):
+            failures.append(
+                (label, f"max abs {err.max():.3e}, "
+                        f"scale {np.abs(want).max():.3e}"))
+        else:
+            ok += 1
+        print(f"[cain {i + 1}/{n}] ok={ok} skipped={skipped} "
+              f"failed={len(failures)}", flush=True)
+    return ok, skipped
+
+
+def _sample_disc_config(rng):
+    cfg = dict(
+        c_dim=int(rng.choice([0, 1, 1])),
+        img_resolution=int(rng.choice([32, 32, 64])),
+        img_channels=int(rng.choice([1, 2, 5])),
+        architecture=str(rng.choice(["resnet", "resnet", "skip", "orig"])),
+        channel_base=int(rng.choice([2048, 4096, 8192])),
+        channel_max=int(rng.choice([32, 64, 128])),
+        conv_clamp=None if rng.rand() < 0.5 else 256,
+        cmap_dim=None if rng.rand() < 0.7 else 32,
+    )
+    block = {} if rng.rand() < 0.7 else dict(resample_filter=[1, 2, 1])
+    mapping = dict(num_layers=int(rng.choice([1, 2])))
+    epilogue = dict(
+        mbstd_group_size=[None, 2, 4][int(rng.choice(3))],
+        mbstd_num_channels=int(rng.choice([0, 1, 1])),
+    )
+    return cfg, block, mapping, epilogue
+
+
+def fuzz_disc(ref, rng, n, failures):
+    """CoModDiscriminator constructor-space parity (reference:
+    CoModGAN/generator.py:613-836 — blocks, mbstd epilogue, cond mapping)."""
+    torch = ref["torch"]
+    ok = skipped = 0
+    for i in range(n):
+        cfg, block, mapping, epilogue = _sample_disc_config(rng)
+        kwargs = dict(block_kwargs=dict(block),
+                      mapping_kwargs=dict(mapping),
+                      epilogue_kwargs=dict(epilogue))
+        torch.manual_seed(2000 + i)
+        try:
+            tdisc = ref["comod_generator"].CoModDiscriminator(
+                **kwargs, **cfg).eval()
+        except Exception:
+            try:
+                CoModDiscriminator(**kwargs, **cfg)
+            except Exception:
+                skipped += 1
+                continue
+            failures.append((dict(cfg, **block, **epilogue),
+                             "reference ctor raised, ours did not"))
+            continue
+
+        res = cfg["img_resolution"]
+        img = rng.randn(4, cfg["img_channels"], res, res).astype(np.float32)
+        c = rng.rand(4, cfg["c_dim"]).astype(np.float32)
+        with torch.no_grad():
+            want = tdisc(torch.from_numpy(img), torch.from_numpy(c)).numpy()
+
+        disc = CoModDiscriminator(**kwargs, **cfg)
+        variables = state_dict_to_variables(tdisc.state_dict())
+        got = np.asarray(disc.apply(variables, jnp.asarray(img),
+                                    jnp.asarray(c)))
+        label = dict(family="disc", **cfg, **block, **epilogue)
+        if got.shape != want.shape:
+            failures.append((label, f"shape {got.shape} vs {want.shape}"))
+            continue
+        err = np.abs(want - got)
+        tol = 5e-4 + 5e-3 * np.abs(want)
+        if np.any(err > tol):
+            failures.append(
+                (label, f"max abs {err.max():.3e}, "
+                        f"scale {np.abs(want).max():.3e}"))
+        else:
+            ok += 1
+        print(f"[disc {i + 1}/{n}] ok={ok} skipped={skipped} "
+              f"failed={len(failures)}", flush=True)
+    return ok, skipped
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
@@ -204,8 +407,14 @@ def main():
               f"failed={len(failures)}", flush=True)
 
     cok, cskipped = fuzz_comod(ref, rng, n, failures)
+    dok, dskipped = fuzz_disc(ref, rng, n, failures)
+    aok, askipped = fuzz_ca(ref, rng, n, failures)
+    iok, iskipped = fuzz_cain(ref, rng, n, failures)
     print(f"\ngenerator parity fuzz: sg3 {ok} ok/{skipped} skipped, "
-          f"comod {cok} ok/{cskipped} skipped, {len(failures)} failed")
+          f"comod {cok} ok/{cskipped} skipped, "
+          f"disc {dok} ok/{dskipped} skipped, "
+          f"ca {aok} ok/{askipped} skipped, "
+          f"cain {iok} ok/{iskipped} skipped, {len(failures)} failed")
     for label, msg in failures[:10]:
         print(f"  FAIL {msg}\n    {label}")
     sys.exit(1 if failures else 0)
