@@ -51,6 +51,20 @@ class FixedTimeEncoder(nn.Module):
         return jnp.concatenate([jnp.sin(raw), jnp.cos(raw)], axis=1)
 
 
+class _Embedding(nn.Module):
+    """torch.nn.Embedding twin — param named ``weight`` so the state_dict
+    key ``const_embed.weight`` ports mechanically."""
+
+    num_embeddings: int
+    features: int
+
+    @nn.compact
+    def __call__(self, idx):
+        w = self.param("weight", _normal_init(1.0),
+                       (self.num_embeddings, self.features))
+        return w[idx]
+
+
 class TemporalDifferenceEncoder(nn.Module):
     max_num_frames: int
     num_frames_per_video: int = 1
@@ -64,9 +78,9 @@ class TemporalDifferenceEncoder(nn.Module):
     def __call__(self, delta_t):
         batch_size = delta_t.shape[0]
         t_diffs = delta_t.reshape(-1)
-        embed = self.param("const_embed", _normal_init(1.0),
-                           (self.max_num_frames, self.d))
-        const_embs = embed[jnp.round(t_diffs.astype(jnp.float32)).astype(jnp.int32)]
+        const_embs = _Embedding(self.max_num_frames, self.d,
+                                name="const_embed")(
+            jnp.round(t_diffs.astype(jnp.float32)).astype(jnp.int32))
         fourier_embs = FixedTimeEncoder(self.max_num_frames,
                                         name="time_encoder")(t_diffs[:, None])
         out = jnp.concatenate([const_embs, fourier_embs], axis=1)
@@ -108,7 +122,9 @@ class EqLRConv1d(nn.Module):
             ((self.padding, self.padding),), dimension_numbers=dn)
         y = y + (b * self.lr_multiplier)[None, :, None].astype(y.dtype)
         if self.activation == "lrelu":
-            y = jnp.where(y >= 0, y, 0.2 * y)
+            # strict > so d/dy at exactly 0 is the slope, like torch's
+            # leaky_relu (see docs/performance.md round-3 subgradient note)
+            y = jnp.where(y > 0, y, 0.2 * y)
         return y
 
 
@@ -158,6 +174,23 @@ class AlignedTimeEncoder(nn.Module):
         return pos_embs - aligners_remove + aligners_add
 
 
+class _MotionConvStack(nn.Module):
+    """The reference's ``self.conv = nn.Sequential(...)`` (motion.py:67-73) —
+    children named ``0``/``1`` so ``conv.0.weight`` ports mechanically."""
+
+    motion_z_dim: int
+    motion_v_dim: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, h):
+        h = EqLRConv1d(self.motion_z_dim, self.motion_z_dim, self.kernel_size,
+                       activation="lrelu", lr_multiplier=0.01, name="0")(h)
+        h = EqLRConv1d(self.motion_z_dim, self.motion_v_dim, self.kernel_size,
+                       activation="lrelu", lr_multiplier=0.01, name="1")(h)
+        return h
+
+
 class MotionMappingNetwork(nn.Module):
     """Trajectory-noise -> motion codes (reference: motion.py:19-170).
 
@@ -194,12 +227,8 @@ class MotionMappingNetwork(nn.Module):
         trajs = motion_z
 
         h = jnp.transpose(trajs, (0, 2, 1))
-        h = EqLRConv1d(self.motion_z_dim, self.motion_z_dim,
-                       self.motion_kernel_size, activation="lrelu",
-                       lr_multiplier=0.01, name="conv0")(h)
-        h = EqLRConv1d(self.motion_z_dim, self.motion_v_dim,
-                       self.motion_kernel_size, activation="lrelu",
-                       lr_multiplier=0.01, name="conv1")(h)
+        h = _MotionConvStack(self.motion_z_dim, self.motion_v_dim,
+                             self.motion_kernel_size, name="conv")(h)
         trajs = jnp.transpose(h, (0, 2, 1))
 
         left_idx = jnp.floor(t / self.motion_z_distance).astype(jnp.int32)
@@ -273,8 +302,14 @@ class MotionSynthesisNetwork(nn.Module):
 
     @property
     def global_w_dim(self) -> int:
+        # Mirrors the reference exactly (generator.py:196-199), including the
+        # coord_emb=False + comod_emb=True adjustment — note that combo only
+        # type-checks at runtime for some enc flags in the reference too.
         if self.comod_emb:
-            return self.channels(4) + self.early_channels
+            gw = self.channels(4) + self.early_channels
+            if not self.coord_emb:
+                gw += self.motion_v_dim
+            return gw
         return self.channels(4) * 2
 
     @property
@@ -360,9 +395,12 @@ class MotionSynthesisNetwork(nn.Module):
                             resample_filter=self.resample_filter,
                             conv_clamp=self.conv_clamp, cond_mod=self.cond_mod)
         w_idx = 0
+        # early_channels is passed unconditionally like the reference
+        # (generator.py:204) — without coord_emb it equals ch4 == out_channels
+        # so conv1's in-width is the same either way.
         block = SynthesisBlock(0, ch4, resolution=4, is_last=False,
-                               early_channels=seed.shape[1] if self.coord_emb
-                               else 0, name="block_early", **block_kwargs)
+                               early_channels=self.early_channels,
+                               name="block_early", **block_kwargs)
         x, img = block(seed, None, ws[:, w_idx:w_idx + 1], img_global,
                        noise_mode=noise_mode)
         w_idx += block.num_conv
@@ -413,9 +451,10 @@ class StyleGANVGenerator(nn.Module):
                                       w_dim=self.w_dim,
                                       num_ws=self.synthesis.num_ws,
                                       **mapping_kwargs)
+        motion_mapping_kwargs = dict(self.motion_mapping_kwargs or {})
+        motion_mapping_kwargs.setdefault("motion_v_dim", self.motion_v_dim)
         self.motion_mapping = MotionMappingNetwork(
-            max_num_frames=self.max_num_frames,
-            **(dict(self.motion_mapping_kwargs or {})))
+            max_num_frames=self.max_num_frames, **motion_mapping_kwargs)
 
     def __call__(self, z, c, t, delta_t, cond_img, motion_z=None,
                  ref_img=None, train: bool = False, noise_mode: str = "random"):
@@ -441,6 +480,9 @@ class StyleGANVDiscriminator(nn.Module):
     num_frames_div_factor: int = 4
     max_num_frames: int = 128
     concat_res: int = 16
+    block_kwargs: Any = None
+    mapping_kwargs: Any = None
+    epilogue_kwargs: Any = None
 
     def channels(self, res: int) -> int:
         return min(self.channel_base // res, self.channel_max)
@@ -475,13 +517,19 @@ class StyleGANVDiscriminator(nn.Module):
             x, img = DiscriminatorBlock(
                 in_channels, tmp_channels, out_channels, resolution=res,
                 img_channels=self.img_channels, architecture=self.architecture,
-                conv_clamp=self.conv_clamp, name=f"b{res}")(x, img)
+                conv_clamp=self.conv_clamp, name=f"b{res}",
+                **dict(self.block_kwargs or {}))(x, img)
 
+        mapping_kwargs = dict(self.mapping_kwargs or {})
+        mapping_kwargs.setdefault("num_layers", 8)
         cmap = MappingNetwork(z_dim=0, c_dim=c.shape[1], w_dim=cmap_dim,
-                              num_ws=None, w_avg_beta=None, num_layers=8,
-                              name="mapping")(None, c)
+                              num_ws=None, w_avg_beta=None,
+                              name="mapping", **mapping_kwargs)(None, c)
         return DiscriminatorEpilogue(self.channels(4), cmap_dim=cmap_dim,
                                      resolution=4,
                                      img_channels=self.img_channels,
                                      architecture=self.architecture,
-                                     name="b4")(x, img, cmap)
+                                     conv_clamp=self.conv_clamp,
+                                     name="b4",
+                                     **dict(self.epilogue_kwargs or {}))(
+            x, img, cmap)

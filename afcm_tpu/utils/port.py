@@ -20,7 +20,10 @@ import numpy as np
 
 _MOMENT_LEAVES = {"w_avg", "magnitude_ema"}
 _CONSTANT_LEAVES = {"noise_const", "freqs", "phases", "transform"}
-_DROP_LEAVES = {"up_filter", "down_filter", "resample_filter"}
+_DROP_LEAVES = {"up_filter", "down_filter", "resample_filter",
+                # time-encoder buffers recomputed at construction
+                # (reference: CoModGAN/layers.py:692, motion.py:189,196)
+                "fourier_coefs", "phase_scales"}
 
 # Torch submodule names that flatten into a different flax leaf layout.
 _CA_RENAMES = {

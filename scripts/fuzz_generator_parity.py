@@ -348,6 +348,171 @@ def fuzz_disc(ref, rng, n, failures):
     return ok, skipped
 
 
+def _sample_motion_config(rng):
+    res = int(rng.choice([16, 32]))
+    gen = dict(
+        z_dim=int(rng.choice([8, 16])),
+        c_dim=int(rng.choice([0, 1, 1])),
+        w_dim=int(rng.choice([8, 16])),
+        motion_v_dim=int(rng.choice([8, 16])),
+        img_resolution=res,
+        img_channels_in=int(rng.choice([1, 4])),
+        img_channels_out=int(rng.choice([1, 3])),
+        max_num_frames=int(rng.choice([8, 16])),
+    )
+    coord_emb = bool(rng.rand() < 0.7)
+    synth = dict(
+        channel_base=int(rng.choice([512, 1024, 2048])),
+        channel_max=int(rng.choice([16, 32])),
+        skip_resolution=int(rng.choice([0, 4, 16])),
+        cond_mod=bool(rng.rand() < 0.7),
+        conv_clamp=None if rng.rand() < 0.5 else 256,
+        architecture=str(rng.choice(["skip", "resnet"])),
+        global_enc=bool(rng.rand() < 0.5),
+        # relative_enc without coord_emb crashes the reference forward
+        # (time_encoder only constructed under coord_emb, generator.py:190)
+        relative_enc=bool(coord_emb and rng.rand() < 0.4),
+        coord_emb=coord_emb,
+        comod_emb=bool(coord_emb and rng.rand() < 0.4),
+    )
+    motion = dict(
+        motion_z_dim=int(rng.choice([4, 8])),
+        motion_z_distance=int(rng.choice([1, 2, 4])),
+        motion_kernel_size=int(rng.choice([2, 3])),
+        time_encoder_kwargs=dict(dim=int(rng.choice([4, 8])),
+                                 min_period_len=2,
+                                 max_period_len=int(rng.choice([8, 16]))),
+    )
+    return gen, synth, motion
+
+
+def fuzz_motion(ref, rng, n, failures):
+    """StyleGANVGenerator constructor-space parity (reference:
+    generator.py:130-295, 577-609 + motion.py 'conv' strategy).
+    ``motion_z`` is supplied so the run is deterministic."""
+    torch = ref["torch"]
+    from afcm_tpu.nn.motion import StyleGANVGenerator
+    ok = skipped = 0
+    for i in range(n):
+        gen_cfg, synth, motion = _sample_motion_config(rng)
+        torch.manual_seed(5000 + i)
+        b = 2
+        frames = gen_cfg["max_num_frames"]
+        traj_len = int(np.ceil((frames - 1) / motion["motion_z_distance"])) \
+            + 2 + (motion["motion_kernel_size"] - 1) * 2
+        t = rng.randint(0, frames - 1, size=(b, 1)).astype(np.float32)
+        delta_t = rng.randint(0, frames - 1, size=(b, 1)).astype(np.float32)
+        motion_z = rng.randn(b, traj_len,
+                             motion["motion_z_dim"]).astype(np.float32)
+        z = rng.randn(b, gen_cfg["z_dim"]).astype(np.float32)
+        c = rng.rand(b, gen_cfg["c_dim"]).astype(np.float32)
+        res = gen_cfg["img_resolution"]
+        cond = rng.randn(b, gen_cfg["img_channels_in"], res,
+                         res).astype(np.float32).clip(-1, 1)
+        try:
+            tgen = ref["comod_generator"].StyleGANVGenerator(
+                mapping_kwargs=dict(name="MappingNetwork", num_layers=2),
+                synthesis_kwargs=dict(name="MotionSynthesisNetwork", **synth),
+                motion_mapping_kwargs=dict(motion), **gen_cfg).eval()
+            with torch.no_grad():
+                want = tgen(torch.from_numpy(z), torch.from_numpy(c),
+                            torch.from_numpy(t), torch.from_numpy(delta_t),
+                            torch.from_numpy(cond),
+                            motion_z=torch.from_numpy(motion_z),
+                            noise_mode="const").numpy()
+        except Exception:
+            skipped += 1
+            continue
+
+        gen = StyleGANVGenerator(mapping_kwargs=dict(num_layers=2),
+                                 synthesis_kwargs=dict(synth),
+                                 motion_mapping_kwargs=dict(motion), **gen_cfg)
+        variables = state_dict_to_variables(tgen.state_dict())
+        got = np.asarray(gen.apply(variables, jnp.asarray(z), jnp.asarray(c),
+                                   jnp.asarray(t), jnp.asarray(delta_t),
+                                   jnp.asarray(cond),
+                                   motion_z=jnp.asarray(motion_z),
+                                   noise_mode="const"))
+        label = dict(family="motion", **gen_cfg, **synth)
+        if got.shape != want.shape:
+            failures.append((label, f"shape {got.shape} vs {want.shape}"))
+            continue
+        err = np.abs(want - got)
+        tol = 5e-4 + 5e-3 * np.abs(want)
+        if np.any(err > tol):
+            failures.append(
+                (label, f"max abs {err.max():.3e}, "
+                        f"scale {np.abs(want).max():.3e}"))
+        else:
+            ok += 1
+        print(f"[motion {i + 1}/{n}] ok={ok} skipped={skipped} "
+              f"failed={len(failures)}", flush=True)
+    return ok, skipped
+
+
+def fuzz_motion_disc(ref, rng, n, failures):
+    """StyleGANVDiscriminator constructor-space parity (reference:
+    generator.py:840-930 — frame concat at concat_res, time conditioning)."""
+    torch = ref["torch"]
+    from afcm_tpu.nn.motion import StyleGANVDiscriminator
+    ok = skipped = 0
+    for i in range(n):
+        cfg = dict(
+            c_dim=int(rng.choice([0, 1])),
+            img_resolution=int(rng.choice([32, 64])),
+            img_channels=int(rng.choice([1, 2])),
+            num_frames=int(rng.choice([2, 3])),
+            channel_base=int(rng.choice([2048, 4096])),
+            channel_max=int(rng.choice([32, 64])),
+            conv_clamp=None if rng.rand() < 0.5 else 256,
+            cmap_dim=None if rng.rand() < 0.7 else 16,
+            num_frames_div_factor=int(rng.choice([1, 2])),
+            max_num_frames=int(rng.choice([8, 16])),
+            concat_res=int(rng.choice([8, 16])),
+        )
+        epilogue = dict(
+            mbstd_group_size=[None, 2][int(rng.choice(2))],
+            mbstd_num_channels=int(rng.choice([0, 1, 1])),
+        )
+        torch.manual_seed(6000 + i)
+        b = 2
+        res = cfg["img_resolution"]
+        img = rng.randn(b, cfg["num_frames"] * cfg["img_channels"], res,
+                        res).astype(np.float32)
+        c = rng.rand(b, cfg["c_dim"]).astype(np.float32)
+        delta_t = rng.randint(0, cfg["max_num_frames"] - 1,
+                              size=(b, 1)).astype(np.float32)
+        try:
+            tdisc = ref["comod_generator"].StyleGANVDiscriminator(
+                epilogue_kwargs=dict(epilogue), **cfg).eval()
+            with torch.no_grad():
+                want = tdisc(torch.from_numpy(img), torch.from_numpy(c),
+                             torch.from_numpy(delta_t)).numpy()
+        except Exception:
+            skipped += 1
+            continue
+
+        disc = StyleGANVDiscriminator(epilogue_kwargs=dict(epilogue), **cfg)
+        variables = state_dict_to_variables(tdisc.state_dict())
+        got = np.asarray(disc.apply(variables, jnp.asarray(img),
+                                    jnp.asarray(c), jnp.asarray(delta_t)))
+        label = dict(family="motion_disc", **cfg, **epilogue)
+        if got.shape != want.shape:
+            failures.append((label, f"shape {got.shape} vs {want.shape}"))
+            continue
+        err = np.abs(want - got)
+        tol = 5e-4 + 5e-3 * np.abs(want)
+        if np.any(err > tol):
+            failures.append(
+                (label, f"max abs {err.max():.3e}, "
+                        f"scale {np.abs(want).max():.3e}"))
+        else:
+            ok += 1
+        print(f"[motion_disc {i + 1}/{n}] ok={ok} skipped={skipped} "
+              f"failed={len(failures)}", flush=True)
+    return ok, skipped
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
@@ -410,11 +575,15 @@ def main():
     dok, dskipped = fuzz_disc(ref, rng, n, failures)
     aok, askipped = fuzz_ca(ref, rng, n, failures)
     iok, iskipped = fuzz_cain(ref, rng, n, failures)
+    mok, mskipped = fuzz_motion(ref, rng, n, failures)
+    vok, vskipped = fuzz_motion_disc(ref, rng, n, failures)
     print(f"\ngenerator parity fuzz: sg3 {ok} ok/{skipped} skipped, "
           f"comod {cok} ok/{cskipped} skipped, "
           f"disc {dok} ok/{dskipped} skipped, "
           f"ca {aok} ok/{askipped} skipped, "
-          f"cain {iok} ok/{iskipped} skipped, {len(failures)} failed")
+          f"cain {iok} ok/{iskipped} skipped, "
+          f"motion {mok} ok/{mskipped} skipped, "
+          f"motion_disc {vok} ok/{vskipped} skipped, {len(failures)} failed")
     for label, msg in failures[:10]:
         print(f"  FAIL {msg}\n    {label}")
     sys.exit(1 if failures else 0)
