@@ -351,6 +351,7 @@ class RefMappingNetwork(nn.Module):
     num_ws: Optional[int]
     channel_base: int = 32768
     channel_max: int = 512
+    resample_filter: Sequence[int] = (1, 3, 3, 1)
 
     @nn.compact
     def __call__(self, z=None, c=None, img_in=None, **kwargs):
@@ -364,6 +365,7 @@ class RefMappingNetwork(nn.Module):
                 img = EFromRGB(self.img_channels, chans(2 ** res),
                                name="e_fromrgb")(x, img)
             img, _ = EBlock(chans(2 ** res), chans(2 ** res // 2),
+                            resample_filter=self.resample_filter,
                             name=f"e_b{res}")(img)
         img = Conv2dLayer(chans(4), chans(4), kernel_size=3,
                           activation="lrelu", name="e_4x4")(img)

@@ -86,7 +86,18 @@ def _sample_comod_config(rng):
         channel_attention=bool(rng.rand() < 0.3),
         resample_filter=[1, 3, 3, 1] if rng.rand() < 0.7 else [1, 2, 1],
     )
-    mapping = dict(num_layers=int(rng.choice([1, 2])))
+    if rng.rand() < 0.25:
+        # image->w mapper (reference: layers.py:619-664); ref_img drives ws
+        mapping = dict(name="RefMappingNetwork",
+                       img_resolution=cfg["img_resolution"],
+                       img_channels=cfg["img_channels_out"],
+                       channel_base=int(rng.choice([2048, 4096])),
+                       channel_max=int(rng.choice([32, 64])))
+        if rng.rand() < 0.3:
+            mapping["resample_filter"] = [1, 2, 1]
+    else:
+        mapping = dict(name="MappingNetwork",
+                       num_layers=int(rng.choice([1, 2])))
     return cfg, synth, mapping
 
 
@@ -100,7 +111,7 @@ def fuzz_comod(ref, rng, n, failures):
         torch.manual_seed(1000 + i)
         try:
             tgen = ref["comod_generator"].CoModGenerator(
-                mapping_kwargs=dict(name="MappingNetwork", **mapping),
+                mapping_kwargs=dict(mapping),
                 synthesis_kwargs=dict(name="SynthesisNetwork", **synth),
                 **cfg).eval()
         except Exception:
@@ -119,17 +130,26 @@ def fuzz_comod(ref, rng, n, failures):
         c = rng.rand(2, cfg["c_dim"]).astype(np.float32)
         cond = rng.randn(2, cfg["img_channels_in"], res,
                          res).astype(np.float32).clip(-1, 1)
+        ref_img = None
+        if mapping.get("name") == "RefMappingNetwork":
+            ref_img = rng.randn(2, mapping["img_channels"], res,
+                                res).astype(np.float32).clip(-1, 1)
+        t_ref = None if ref_img is None else torch.from_numpy(ref_img)
         with torch.no_grad():
             want = tgen(torch.from_numpy(z), torch.from_numpy(c),
-                        torch.from_numpy(cond), noise_mode="const").numpy()
+                        torch.from_numpy(cond), ref_img=t_ref,
+                        noise_mode="const").numpy()
 
         gen = CoModGenerator(mapping_kwargs=dict(mapping),
                              synthesis_kwargs=dict(synth), **cfg)
         variables = state_dict_to_variables(tgen.state_dict())
         got = np.asarray(gen.apply(variables, jnp.asarray(z),
                                    jnp.asarray(c), jnp.asarray(cond),
+                                   ref_img=None if ref_img is None
+                                   else jnp.asarray(ref_img),
                                    noise_mode="const"))
-        label = dict(family="comod", **cfg, **synth)
+        label = dict(family="comod", mapper=mapping.get("name"),
+                     **cfg, **synth)
         if got.shape != want.shape:
             failures.append((label, f"shape {got.shape} vs {want.shape}"))
             continue

@@ -75,3 +75,39 @@ def test_comod_discriminator_parity(ref, rng):
     got = np.asarray(disc.apply(variables, jnp.asarray(img), jnp.asarray(c)))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
+
+
+def test_ref_mapping_network_parity(ref, rng):
+    """Image->w mapper (reference: layers.py:619-664) selected via
+    mapping_kwargs.name, driven by ref_img like comodgan_model.py:114-126."""
+    torch = ref["torch"]
+    torch.manual_seed(2)
+    mapping = dict(name="RefMappingNetwork", img_resolution=32,
+                   img_channels=1, channel_base=2048, channel_max=32,
+                   resample_filter=[1, 2, 1])
+    cfg = dict(z_dim=32, c_dim=0, w_dim=32, img_resolution=32,
+               img_channels_in=4, img_channels_out=1)
+    synth = dict(channel_base=2048, channel_max=32, skip_resolution=16,
+                 cond_mod=True)
+    tgen = ref["comod_generator"].CoModGenerator(
+        mapping_kwargs=dict(mapping),
+        synthesis_kwargs=dict(name="SynthesisNetwork", **synth), **cfg).eval()
+
+    z = rng.randn(2, 32).astype(np.float32)
+    c = np.zeros((2, 0), np.float32)
+    cond = rng.randn(2, 4, 32, 32).astype(np.float32).clip(-1, 1)
+    ref_img = rng.randn(2, 1, 32, 32).astype(np.float32).clip(-1, 1)
+    with torch.no_grad():
+        want = tgen(torch.from_numpy(z), torch.from_numpy(c),
+                    torch.from_numpy(cond),
+                    ref_img=torch.from_numpy(ref_img),
+                    noise_mode="const").numpy()
+
+    gen = CoModGenerator(mapping_kwargs=dict(mapping),
+                         synthesis_kwargs=dict(synth), **cfg)
+    variables = state_dict_to_variables(tgen.state_dict())
+    got = np.asarray(gen.apply(variables, jnp.asarray(z), jnp.asarray(c),
+                               jnp.asarray(cond), ref_img=jnp.asarray(ref_img),
+                               noise_mode="const"))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
