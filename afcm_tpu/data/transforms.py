@@ -144,10 +144,16 @@ class ResizeCrop:
 
     def __call__(self, m):
         assert m.ndim in (3, 4)
+        # Offsets mirror the reference exactly (transforms.py:201-202): drawn
+        # from inter_size - original(!) - 1, not inter - target.  The
+        # reference then writes the crop back in place, so it only
+        # type-checks when original == target_size; we return a new array
+        # with the same values.
+        y, x = m.shape[-2], m.shape[-1]
         w_offset = self.random_state.randint(
-            0, max(1, self.inter_size[1] - self.target_size[1]))
+            0, max(0, self.inter_size[1] - y - 1))
         h_offset = self.random_state.randint(
-            0, max(1, self.inter_size[0] - self.target_size[0]))
+            0, max(0, self.inter_size[0] - x - 1))
 
         def resize_stack(stack):
             out = []
