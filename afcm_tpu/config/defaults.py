@@ -179,7 +179,7 @@ def get_default_cfg() -> CfgNode:
     # depth+1 slots (one extra between a dispatch and its paired fetch);
     # each slot holds one input+output batch (~8 MB at batch 16, 256^2).
     # 0 disables pipelining (strictly serial batches).
-    c.tpu.pipeline_depth = 2
+    c.tpu.pipeline_depth = 4
     return c
 
 
