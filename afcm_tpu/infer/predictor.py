@@ -125,7 +125,7 @@ class StandardPredictor:
         previous subject's finalize/save, the next subject's h5 open +
         slice building, and whatever per-subject host work the consumer
         does between yields. ``depth=None`` reads ``tpu.pipeline_depth``
-        from the predictor's config (default 2); 0 disables pipelining.
+        from the predictor's config (default 4); 0 disables pipelining.
         The reference runs subjects strictly serially
         (reference: evaluate.py:49-66); overlap-add stitching is
         order-independent so the pipelined result is identical.
@@ -178,7 +178,7 @@ class StandardPredictor:
         try:
             return int(self.config.tpu.pipeline_depth)
         except (AttributeError, TypeError):
-            return 2
+            return 4
 
     def _new_subject(self, test_loader) -> SimpleNamespace:
         """Allocate the per-subject stitching state."""
