@@ -34,22 +34,11 @@ from .upfirdn2d import upfirdn2d as _upfirdn2d_fn
 
 
 _DEFAULT_IMPL = "auto"
-# Odd-channel FIR padding (below): isolated op timings show big wins
-# (C181@276^2: 25.8 -> 19.3 ms padded to 192), but in-model A/B is NEUTRAL
-# (75.4 vs 75.7 slices/s) — the pad between the producing conv and the
-# first FIR pass breaks XLA's conv-epilogue fusion, costing what it saves
-# (the same boundary tax the Pallas kernel pays). Default off; kept as an
-# A/B hook because the balance may flip on other generators/chips.
-_FIR_CHANNEL_PAD = False
-# Experiment knob (VERDICT r2 item 3): lane-aligned W output tiles for the
-# MXU kernel (128) — aligns the overlapped gather strides and the
-# reassembly transpose. None = the measured round-2 geometry.
-_BO_ALIGN = None
-
-
-def set_bo_align(v):
-    global _BO_ALIGN
-    _BO_ALIGN = v
+# Pruned experiment knobs (round 4; full ledger in docs/experiments.md):
+#  * _FIR_CHANNEL_PAD (odd-channel pad inside the chain) — in-model NEUTRAL;
+#  * _BO_ALIGN (lane-aligned W output tiles) — in-model 0.90x, a clear loss.
+# Both deleted rather than kept off: re-run scripts/bench_model_sweep.py
+# against the git history if a future chip changes the balance.
 
 
 def set_default_impl(impl: str):
@@ -127,33 +116,15 @@ def filtered_lrelu(x, fu=None, fd=None, b=None, up=1, down=1, padding=0,
         if ms is not None:
             out = filtered_lrelu_mxu(x, fu, fd, b, up, down,
                                      (px0, px1, py0, py1), gain, slope,
-                                     clamp, flip_filter, ms_target=ms,
-                                     bo_align=_BO_ALIGN)
+                                     clamp, flip_filter, ms_target=ms)
             if out is not None:
                 return out
-
-    # Channel padding for the odd-channel FIR layers (see _FIR_CHANNEL_PAD
-    # note above: strong isolated win, in-model neutral; default off).
-    # Zero channels are exact through the whole chain.
-    crop_c = None
-    c = int(x.shape[1])
-    if (_FIR_CHANNEL_PAD and x.dtype == jnp.bfloat16
-            and c > 64 and c % 32 != 0
-            and min(int(x.shape[2]), int(x.shape[3])) >= 192
-            and jax.default_backend() == "tpu"):
-        c_pad = -(-c // 32) * 32
-        x = jnp.pad(x, ((0, 0), (0, c_pad - c), (0, 0), (0, 0)))
-        if b is not None:
-            b = jnp.pad(jnp.asarray(b), (0, c_pad - c))
-        crop_c = c
 
     x = _bias_act_fn(x, b)
     x = _upfirdn2d_fn(x, fu, up=up, padding=[px0, px1, py0, py1],
                       gain=up ** 2, flip_filter=flip_filter)
     x = _bias_act_fn(x, act="lrelu", alpha=slope, gain=gain, clamp=clamp)
     x = _upfirdn2d_fn(x, fd, down=down, flip_filter=flip_filter)
-    if crop_c is not None:
-        x = x[:, :crop_c]
     return x
 
 

@@ -55,7 +55,7 @@ _ALIGN = 16          # sublane alignment that is layout-free for f32 and bf16
 
 
 def _chain_axis_plan(fu, fd, up, down, p0, p1, in_len, ms_target, flip,
-                     align, bo_align=None):
+                     align):
     """Tiling plan for one separable axis of the full chain: up-FIR with taps
     ``fu`` (per-axis gain ``up``; up^2 total across both axes, matching
     reference upfirdn2d gain=up**2), then down-FIR with taps ``fd`` (gain 1).
@@ -81,12 +81,6 @@ def _chain_axis_plan(fu, fd, up, down, p0, p1, in_len, ms_target, flip,
         if cand % align or (cand * down) % up:
             continue
         if ((cand * down) // up) % align:
-            continue
-        if bo_align and cand % bo_align:
-            # lane-aligned output tiles: the XLA-side gather slices land on
-            # 128-lane boundaries and the reassembly transpose relayouts
-            # cheaply (VERDICT r2 item 3), at the cost of a lane-padded mid
-            # window (msl up to 384) shrinking the channel block.
             continue
         bo = cand
         break
@@ -180,7 +174,7 @@ def _pick_cb(c, hx, wxw, msl, n_th, boh, bow, bytes_per):
 @functools.lru_cache(maxsize=None)
 def _build_mxu_call(in_h, in_w, c, fu_key, fd_key, up, down, padding, gain,
                     slope, clamp, flip, dtype_name, ms_target, interpret,
-                    bo_align=None, element_gather=False):
+                    element_gather=False):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -189,12 +183,8 @@ def _build_mxu_call(in_h, in_w, c, fu_key, fd_key, up, down, padding, gain,
     px0, px1, py0, py1 = padding
     plan_h = _chain_axis_plan(fu, fd, up, down, py0, py1, in_h, ms_target,
                               flip, _ALIGN)
-    # bo_align applies to the W axis only: that is where the overlapped
-    # gather slices and the reassembly transpose live.
-    plan_w = _chain_axis_plan(fu, fd, up, down, px0, px1, in_w,
-                              max(ms_target,
-                                  (bo_align or 0) * down + len(fd) + 2),
-                              flip, _ALIGN, bo_align=bo_align)
+    plan_w = _chain_axis_plan(fu, fd, up, down, px0, px1, in_w, ms_target,
+                              flip, _ALIGN)
     if plan_h is None or plan_w is None:
         return None
 
@@ -424,7 +414,6 @@ def set_element_gather(on: bool):
 def filtered_lrelu_mxu(x, fu, fd, b, up, down, padding, gain, slope, clamp,
                        flip_filter, ms_target: int = 128,
                        interpret: bool = False,
-                       bo_align: Optional[int] = None,
                        element_gather: Optional[bool] = None
                        ) -> Optional[jnp.ndarray]:
     """Fused banded-MXU filtered_lrelu; NCHW in/out. Returns None when the
@@ -444,8 +433,7 @@ def filtered_lrelu_mxu(x, fu, fd, b, up, down, padding, gain, slope, clamp,
         in_h, in_w, c, tuple(fu.tolist()), tuple(fd.tolist()), int(up),
         int(down), tuple(int(p) for p in padding), float(gain), float(slope),
         None if clamp is None else float(clamp), bool(flip_filter),
-        x.dtype.name, int(ms_target), bool(interpret),
-        None if bo_align is None else int(bo_align), bool(use_elem))
+        x.dtype.name, int(ms_target), bool(interpret), bool(use_elem))
     if built is None:
         return None
     fwd_call, bwd_call, meta = built

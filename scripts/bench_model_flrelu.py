@@ -1,5 +1,5 @@
 """In-model A/B of filtered_lrelu variants on the full-size generator,
-one process: xla-only vs auto (round-2 routing) vs auto+bo_align=128.
+one process: xla-only vs auto (measured routing).
 
 Run: python scripts/bench_model_flrelu.py [batch]
 """
@@ -59,14 +59,12 @@ def main():
     outs = {}
     for name, impl, bo, elem in configs:
         fl.set_default_impl(impl)
-        fl.set_bo_align(bo)
         set_element_gather(elem)
         fwd = jax.jit(lambda v, z, c, x: gen.apply(v, z, c, x))
         rate, out = bench(fwd, (variables, z, c, cond))
         outs[name] = np.asarray(out, np.float32)
         print(f"{name:11s}: {rate:6.2f} slices/s", flush=True)
     fl.set_default_impl("auto")
-    fl.set_bo_align(None)
     set_element_gather(False)
 
     ref = outs.get("auto_elem", outs["auto"])

@@ -1,5 +1,5 @@
 """In-model sweep of the round-3 perf knobs on the full-size generator,
-one process: conv impl (xla / int8 table) x filtered_lrelu bo_align.
+one process: conv impl (xla / int8 table).
 
 Run: python scripts/bench_model_sweep.py [batch]
 """
@@ -44,27 +44,23 @@ def main():
     variables = jax.jit(gen.init)(jax.random.PRNGKey(0), z, c, cond)
 
     configs = [
-        ("baseline      ", "xla", None),
-        ("int8-table    ", "int8", None),
-        ("bo128         ", "xla", 128),
-        ("int8+bo128    ", "int8", 128),
-        ("baseline-again", "xla", None),
+        ("baseline      ", "xla"),
+        ("int8-table    ", "int8"),
+        ("baseline-again", "xla"),
     ]
     outs = {}
-    for name, conv_impl, bo in configs:
+    for name, conv_impl in configs:
         mc.set_conv_impl(conv_impl)
         fl.set_default_impl("auto")
-        fl.set_bo_align(bo)
         fwd = jax.jit(lambda v, z, c, x: gen.apply(v, z, c, x))
         rate, out = bench(fwd, (variables, z, c, cond))
         outs[name] = (rate, np.asarray(out, np.float32))
         print(f"{name}: {rate:6.2f} slices/s", flush=True)
     mc.set_conv_impl("xla")
-    fl.set_bo_align(None)
 
     base = outs["baseline      "][1]
     dr = base.max() - base.min()
-    for name in ("int8-table    ", "int8+bo128    "):
+    for name in ("int8-table    ",):
         err = np.mean((outs[name][1] - base) ** 2)
         print(f"{name.strip()} PSNR vs bf16: "
               f"{10*np.log10(dr*dr/max(err,1e-12)):.1f} dB")
