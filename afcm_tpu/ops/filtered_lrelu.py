@@ -61,6 +61,16 @@ def get_default_impl() -> str:
 # (a) low-channel large-spatial same-rate layers — the lane-starved tail of
 # the conv emitter — and (b) up4 transition layers at mid target 256.
 # fp32 routes to XLA everywhere (the MXU's f32 rate cancels the fusion win).
+_MS_TARGET_UP2 = 128   # W/H tile mid-window target for the routed up2 class;
+                       # bigger = fewer W tiles (less gather/reassembly tax)
+                       # at more redundant banded-MXU FLOPs. A/B hook.
+
+
+def set_ms_target_up2(v: int):
+    global _MS_TARGET_UP2
+    _MS_TARGET_UP2 = int(v)
+
+
 def _route_to_pallas(shape, dtype, up, down):
     """Returns the kernel's ms_target, or None to stay on XLA."""
     if jnp.dtype(dtype) != jnp.bfloat16:
@@ -70,7 +80,7 @@ def _route_to_pallas(shape, dtype, up, down):
     c, h, w = int(shape[1]), int(shape[2]), int(shape[3])
     size = min(h, w)
     if up == 2 and down == 2 and c <= 96 and size >= 192:
-        return 128            # 1.2-1.5x measured (276^2, C 64-91)
+        return _MS_TARGET_UP2  # 1.2-1.5x measured (276^2, C 64-91)
     if up == 4 and down == 2:
         if c <= 128 and size >= 128:
             return 256        # 1.3x (148^2 C128)

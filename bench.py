@@ -78,6 +78,7 @@ def main():
 
     rng = np.random.RandomState(0)
     results = {}
+    cost = {}
     variables = None
     for dtype, batches in (("bfloat16", (32, 16)), ("float32", (16,))):
         gen = _make_gen(dtype)
@@ -91,6 +92,15 @@ def main():
                     variables = jax.jit(gen.init)(jax.random.PRNGKey(0), z, c,
                                                   cond)
                 fwd = jax.jit(lambda v, z, c, x: gen.apply(v, z, c, x))
+                try:
+                    ca = fwd.lower(variables, z, c, cond).compile() \
+                            .cost_analysis()
+                    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+                    cost[f"{dtype}_b{batch}"] = (
+                        float(ca.get("flops", 0.0)) / batch,
+                        float(ca.get("bytes accessed", 0.0)) / batch)
+                except Exception:
+                    pass
                 out = fwd(variables, z, c, cond)
                 np.asarray(out)  # warm; host fetch = reliable sync on axon
                 # Median of 3 timing windows: the axon tunnel shows ~±10%
@@ -114,15 +124,33 @@ def main():
     # inside the 0.1 dB parity budget; see BASELINE.md).
     if timer is not None:
         timer.cancel()
-    best = max((v for v in results.values() if isinstance(v, float)),
-               default=0.0)
+    best_key, best = None, 0.0
+    for key, val in results.items():
+        if isinstance(val, float) and not key.endswith("_spread") \
+                and val > best:
+            best_key, best = key, val
+    detail = {"per_config": results,
+              "baseline": f"5x A100-estimate = {TARGET} slices/sec"}
+    # Falsifiability fields (VERDICT r3 item 5): forward MFU against the
+    # 197 TF/s v5e bf16 peak, and achieved HBM bandwidth (XLA cost-analysis
+    # bytes / wall time) against the MEASURED practical streaming ceiling
+    # (~490 GB/s: XLA elementwise == aligned Pallas, scripts/
+    # probe_stream_diag.py round 4 — not the 819 GB/s paper number).
+    if best_key in cost:
+        flops_per_slice, bytes_per_slice = cost[best_key]
+        peak = 197e12 if best_key.startswith("bfloat16") else 99e12
+        detail["mfu"] = round(best * flops_per_slice / peak, 4)
+        detail["achieved_gbps"] = round(best * bytes_per_slice / 1e9, 1)
+        detail["bw_ceiling_gbps_measured"] = 490.0
+        detail["bw_frac_of_ceiling"] = round(
+            best * bytes_per_slice / 1e9 / 490.0, 3)
+        detail["flops_per_slice"] = flops_per_slice
     print(json.dumps({
         "metric": "256^2 MR slices/sec/chip (CMSR G_ema forward)",
         "value": round(best, 2),
         "unit": "slices/sec/chip",
         "vs_baseline": round(best / TARGET, 4),
-        "detail": {"per_config": results,
-                   "baseline": f"5x A100-estimate = {TARGET} slices/sec"},
+        "detail": detail,
     }))
 
 

@@ -1,0 +1,300 @@
+"""Dress rehearsal of the real-data workflow, one command (VERDICT r3 item 6).
+
+Proves the day-1-on-real-data story end to end with the REAL CLIs:
+
+  1. synthesize NIfTI subjects at realistic volume geometry (64 x 256^2)
+  2. `python -m afcm_tpu.data.prepare_h5` per split  (NIfTI -> uint8 h5)
+  3. evaluate the INIT checkpoint with `python -m afcm_tpu.evaluate`
+  4. train N steps with `python -m afcm_tpu.train` (full-size CMSR config,
+     bf16 + selective remat — the shipped fastest single-chip schedule)
+  5. evaluate the best-SSIM checkpoint with `python -m afcm_tpu.evaluate`
+  6. assert PSNR/SSIM improved over init and the runtime stayed in budget
+
+Mirrors the reference workflow prepare_h5 -> train.py -> evaluate.py
+(reference: data/prepare_h5.py, train.py:79-116, evaluate.py:43-103).
+
+Run on TPU:   python scripts/dress_rehearsal.py [--steps 200]
+CPU smoke:    python scripts/dress_rehearsal.py --fast --steps 8
+"""
+
+import argparse
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+
+CONFIG_TMPL = """\
+model:
+  name: stylegan3
+  combine_ab: True
+  G:
+    netG: 'stylegan3'
+    z_dim: {z_dim}
+    w_dim: {z_dim}
+    c_dim: 1
+    img_resolution: {res}
+    img_channels_in: 4
+    img_channels_out: 1
+    synthesis_kwargs:
+      channel_base: {channel_base}
+      channel_max: {channel_max}
+      num_layers: {num_layers}
+      {extra_syn}
+      skip_resolution: {skip_res}
+      conv_clamp: 256
+      lrelu_upsampling: 2
+    mapping_kwargs:
+      num_layers: {map_layers}
+  D:
+    netD: 'comodgan'
+    img_channels: 5
+    c_dim: 1
+    channel_base: {channel_base}
+    channel_max: {channel_max}
+    img_resolution: {res}
+    epilogue_kwargs:
+      mbstd_group_size: 2
+loaders:
+  batch_size: {batch}
+  slice_num: 4
+  thickness: [4]
+  raw_internal_path_in: [flair]
+  raw_internal_path_out: [t1]
+  train:
+    file_paths: ['{root}/h5/train']
+    slice_builder:
+      name: SliceBuilder
+      patch_shape: [1, {res}, {res}]
+      stride_shape: [1, 32, 32]
+    transformer:
+      raw:
+        Normalize: {{enabled: True, min_value: 0.0, max_value: 255.0}}
+        ToTensor: {{enabled: True, expand_dims: False}}
+  val:
+    file_paths: ['{root}/h5/val']
+  test:
+    ori_file_path: ''
+    file_paths: ['{root}/h5/test']
+    slice_builder:
+      name: SliceBuilder
+      patch_shape: [1, {res}, {res}]
+      stride_shape: [1, {res}, {res}]
+optimizer:
+  lr_G: 0.0025
+  lr_D: 0.002
+scheduler:
+  n_epochs: 1000
+  n_epochs_decay: 0
+  ema: {{enabled: True, ema_kimgs: 0.5, ramp: null}}
+loss:
+  blur_init_sigma: 2.0
+  blur_fade_kimg: {blur_fade}
+trainer:
+  print_freq: 20
+  save_latest_freq: {val_freq}
+  save_epoch_freq: 100000
+  max_iters: {steps}
+tpu:
+  compute_dtype: bfloat16
+  transfer_dtype: uint8
+  remat: {remat}
+  remat_min_size: 200
+predictor:
+  patch_halo: [0, 0, 0]
+checkpoints_dir: '{root}/checkpoints'
+name: 'rehearsal'
+manual_seed: 0
+"""
+
+
+def make_nifti_subjects(root, n_train, n_val, n_test, depth, size):
+    from afcm_tpu.data.demo import make_phantom
+    from afcm_tpu.utils.nifti import write_nifti
+    seed = 100
+    split_dirs = {}
+    for split, count in (("train", n_train), ("val", n_val),
+                         ("test", n_test)):
+        split_dir = os.path.join(root, "nifti", split)
+        for i in range(count):
+            subject = f"sub_{split}_{i}"
+            sub_dir = os.path.join(split_dir, subject)
+            os.makedirs(sub_dir, exist_ok=True)
+            vols = make_phantom(depth=depth, size=size, seed=seed)
+            seed += 1
+            for modality in ("t1", "flair"):
+                write_nifti(os.path.join(sub_dir,
+                                         f"{subject}_{modality}.nii.gz"),
+                            vols[modality].astype(np.float32))
+        split_dirs[split] = split_dir
+    return split_dirs
+
+
+# The container sitecustomize force-registers the axon TPU backend in every
+# python process and overrides JAX_PLATFORMS (CLAUDE.md); forcing CPU for a
+# CLI subprocess therefore needs an in-process jax.config.update BEFORE any
+# backend touch. This bootstrap wraps `python -m <module> <args>`.
+_CPU_BOOTSTRAP = (
+    "import sys, jax; jax.config.update('jax_platforms', 'cpu'); "
+    "import runpy; mod = sys.argv[1]; sys.argv = [mod] + sys.argv[2:]; "
+    "runpy.run_module(mod, run_name='__main__')")
+
+FORCE_CPU = False
+
+
+def run_cli(args, log_path):
+    assert args[0] == "-m"
+    cmd = ([sys.executable, "-c", _CPU_BOOTSTRAP] + args[1:] if FORCE_CPU
+           else [sys.executable] + args)
+    t0 = time.time()
+    with open(log_path, "w") as log:
+        proc = subprocess.run(cmd, stdout=log,
+                              stderr=subprocess.STDOUT, cwd=REPO)
+    dt = time.time() - t0
+    if proc.returncode != 0:
+        print(open(log_path).read()[-4000:])
+        raise SystemExit(f"FAILED ({proc.returncode}): {' '.join(args)}")
+    return dt
+
+
+def parse_eval(out_dir):
+    txt = open(os.path.join(out_dir, "evaluate.txt")).read()
+    m = re.findall(r"VALIDATION mean psnr:([\d.]+), ssim:([\d.]+)", txt)
+    assert m, f"no summary line in evaluate.txt:\n{txt[-500:]}"
+    return float(m[-1][0]), float(m[-1][1])
+
+
+def save_init_checkpoint(config_path, root):
+    """Materialize the config's fresh-init state as checkpoint tag 'init'
+    (same init path the train CLI takes: seeded model.init_state)."""
+    import jax
+    import jax.numpy as jnp
+
+    from afcm_tpu.config import default_argument_parser
+    from afcm_tpu.models import build_model
+    from afcm_tpu.utils import checkpoint as ckpt
+
+    cfg = default_argument_parser(["--config-file", config_path])
+    model = build_model(cfg)
+    res = cfg.model.G.img_resolution
+    rng, init_rng = jax.random.split(jax.random.PRNGKey(0))
+    dummy = {"A": jnp.zeros((1, 4, res, res)),
+             "B": jnp.zeros((1, 1, res, res)),
+             "slice_idx": jnp.zeros((1, 1))}
+    state = model.init_state(init_rng, dummy)
+    run_dir = os.path.join(cfg.checkpoints_dir, cfg.name)
+    os.makedirs(run_dir, exist_ok=True)
+    ckpt.save_state(state, run_dir, "init")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--workdir", default="/tmp/afcm_rehearsal")
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--budget-s", type=float, default=3600.0,
+                    help="wall budget for the whole rehearsal")
+    ap.add_argument("--fast", action="store_true",
+                    help="tiny geometry for CPU smoke (64^2, small G)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend in every subprocess")
+    args = ap.parse_args()
+    if args.cpu:
+        global FORCE_CPU
+        FORCE_CPU = True
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    root = os.path.abspath(args.workdir)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    t_start = time.time()
+
+    if args.fast:
+        geo = dict(depth=16, size=64, z_dim=64, channel_base=1024,
+                   channel_max=32, num_layers=4, map_layers=2, skip_res=32,
+                   batch=2, extra_syn="num_critical: 2\n      margin_size: 4",
+                   remat="False")
+    else:
+        geo = dict(depth=64, size=256, z_dim=512, channel_base=16384,
+                   channel_max=512, num_layers=14, map_layers=8,
+                   skip_res=128, batch=16, extra_syn="", remat="True")
+
+    # 1. NIfTI subjects at volume geometry.
+    print(f"[1/6] synthesizing NIfTI subjects under {root}/nifti", flush=True)
+    splits = make_nifti_subjects(root, n_train=3, n_val=1, n_test=1,
+                                 depth=geo["depth"], size=geo["size"])
+
+    # 2. prepare_h5 CLI per split.
+    for split, src in splits.items():
+        out = os.path.join(root, "h5", split)
+        dt = run_cli(["-m", "afcm_tpu.data.prepare_h5", "--data-path", src,
+                      "--out-path", out, "--modalities", "t1", "flair",
+                      "--size", str(geo["size"])],
+                     os.path.join(root, f"prepare_{split}.log"))
+        print(f"[2/6] prepare_h5 {split}: {dt:.1f}s", flush=True)
+
+    config_path = os.path.join(root, "rehearsal.yml")
+    with open(config_path, "w") as f:
+        f.write(CONFIG_TMPL.format(root=root, steps=args.steps,
+                                   val_freq=max(8, args.steps // 2),
+                                   blur_fade=0.2, res=geo["size"], **{
+                                       k: geo[k] for k in
+                                       ("z_dim", "channel_base",
+                                        "channel_max", "num_layers",
+                                        "map_layers", "skip_res", "batch",
+                                        "extra_syn", "remat")}))
+
+    # 3. init checkpoint -> evaluate CLI (the pre-training reference point).
+    print("[3/6] init checkpoint + evaluate", flush=True)
+    save_init_checkpoint(config_path, root)
+    dt_ev0 = run_cli(["-m", "afcm_tpu.evaluate", "--config-file", config_path,
+                      "epoch", "init"], os.path.join(root, "eval_init.log"))
+    eval_dir = os.path.join(root, "checkpoints", "rehearsal", "evaluate")
+    psnr0, ssim0 = parse_eval(eval_dir)
+    os.rename(os.path.join(eval_dir, "evaluate.txt"),
+              os.path.join(eval_dir, "evaluate_init.txt"))
+    print(f"      init: psnr {psnr0:.3f} ssim {ssim0:.4f} ({dt_ev0:.0f}s)",
+          flush=True)
+
+    # 4. train CLI.
+    print(f"[4/6] train {args.steps} steps", flush=True)
+    dt_train = run_cli(["-m", "afcm_tpu.train", "--config-file", config_path],
+                       os.path.join(root, "train.log"))
+    print(f"      train done in {dt_train:.0f}s", flush=True)
+
+    # 5. evaluate CLI on the best-SSIM checkpoint.
+    best = os.path.join(root, "checkpoints", "rehearsal",
+                        "best_state.msgpack")
+    tag = "best" if os.path.exists(best) else "latest"
+    print(f"[5/6] evaluate checkpoint '{tag}'", flush=True)
+    dt_ev1 = run_cli(["-m", "afcm_tpu.evaluate", "--config-file", config_path,
+                      "epoch", tag], os.path.join(root, "eval_best.log"))
+    psnr1, ssim1 = parse_eval(eval_dir)
+
+    # 6. the assertions that make this a regression, not a demo.
+    wall = time.time() - t_start
+    report = {"init": {"psnr": psnr0, "ssim": ssim0},
+              "trained": {"psnr": psnr1, "ssim": ssim1, "tag": tag},
+              "steps": args.steps,
+              "seconds": {"train": round(dt_train, 1),
+                          "evaluate": round(dt_ev1, 1),
+                          "total": round(wall, 1)}}
+    print("[6/6] " + json.dumps(report), flush=True)
+    assert psnr1 > psnr0 and ssim1 > ssim0, (
+        f"training did not improve metrics: init ({psnr0:.3f}, {ssim0:.4f}) "
+        f"-> trained ({psnr1:.3f}, {ssim1:.4f})")
+    assert wall < args.budget_s, f"over budget: {wall:.0f}s > {args.budget_s}s"
+    print(f"REHEARSAL OK: psnr {psnr0:.2f} -> {psnr1:.2f}, "
+          f"ssim {ssim0:.3f} -> {ssim1:.3f}, {wall:.0f}s total", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -7,9 +7,6 @@ device-stream op time into the buckets docs/performance.md tracks
 Run: python scripts/profile_forward.py [xla|auto|int8] [batch]
 """
 
-import glob
-import gzip
-import json
 import os
 import sys
 
@@ -18,6 +15,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+from _trace_util import parse_trace, print_profile
 
 
 def sync(x):
@@ -62,46 +61,11 @@ def main():
     sync(out)
     jax.profiler.stop_trace()
 
-    paths = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
-    if not paths:
+    parsed = parse_trace(trace_dir, iters=3)
+    if parsed is None:
         print("no trace captured (axon tunnel may not export device traces)")
         return
-    with gzip.open(paths[0], "rt") as f:
-        trace = json.load(f)
-    events = trace.get("traceEvents", [])
-    # Per-op rows live on the '/device:TPU:*' process's "XLA Ops" thread and
-    # carry args.hlo_category + args.long_name (with the HLO text incl. the
-    # output shape). The whole-module rows are on "XLA Modules".
-    tids = {}
-    for ev in events:
-        if ev.get("ph") == "M" and ev.get("name") == "thread_name":
-            tids[(ev["pid"], ev["tid"])] = ev["args"]["name"]
-    import re
-    buckets = {}
-    names = {}
-    total = 0.0
-    for ev in events:
-        if ev.get("ph") != "X" or "dur" not in ev:
-            continue
-        if tids.get((ev["pid"], ev.get("tid"))) != "XLA Ops":
-            continue
-        args = ev.get("args") or {}
-        cat = args.get("hlo_category", "?")
-        ln = args.get("long_name", "")
-        shape = re.search(r"= (\w+\[[0-9,]*\])", ln)
-        dur = ev["dur"] / 1e3 / 3  # us -> ms, per-iter (3 traced iters)
-        buckets[cat] = buckets.get(cat, 0.0) + dur
-        key = (cat, ev["name"].split(".")[0],
-               shape.group(1) if shape else "?")
-        names[key] = names.get(key, 0.0) + dur
-        total += dur
-    print(f"impl={impl} total device {total:.1f} ms/iter")
-    for b, ms in sorted(buckets.items(), key=lambda kv: -kv[1]):
-        print(f"  {b:28s} {ms:7.2f} ms")
-    top = sorted(names.items(), key=lambda kv: -kv[1])[:25]
-    print("top ops (category, op, out shape):")
-    for (b, name, shape), ms in top:
-        print(f"  {ms:7.2f} ms  [{b}] {name} {shape}")
+    print_profile(f"impl={impl}", parsed)
 
 
 if __name__ == "__main__":
