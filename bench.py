@@ -91,10 +91,13 @@ def main():
                 if variables is None:
                     variables = jax.jit(gen.init)(jax.random.PRNGKey(0), z, c,
                                                   cond)
-                fwd = jax.jit(lambda v, z, c, x: gen.apply(v, z, c, x))
+                jitted = jax.jit(lambda v, z, c, x: gen.apply(v, z, c, x))
+                # One explicit compile serves both the cost analysis and the
+                # timing loop (a second jit compile of the same graph would
+                # cost another ~20-40 s over the tunnel).
+                fwd = jitted.lower(variables, z, c, cond).compile()
                 try:
-                    ca = fwd.lower(variables, z, c, cond).compile() \
-                            .cost_analysis()
+                    ca = fwd.cost_analysis()
                     ca = ca[0] if isinstance(ca, (list, tuple)) else ca
                     cost[f"{dtype}_b{batch}"] = (
                         float(ca.get("flops", 0.0)) / batch,
