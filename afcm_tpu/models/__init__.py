@@ -72,7 +72,8 @@ def build_discriminator(d_cfg: Dict[str, Any]):
         conv_clamp=d_cfg.get("conv_clamp"),
         cmap_dim=d_cfg.get("cmap_dim"),
         mapping_kwargs=d_cfg.get("mapping_kwargs", {}),
-        epilogue_kwargs=d_cfg.get("epilogue_kwargs", {}))
+        epilogue_kwargs=d_cfg.get("epilogue_kwargs", {}),
+        compute_dtype=d_cfg.get("compute_dtype", "float32"))
 
 
 def build_model(cfg):
@@ -107,6 +108,13 @@ def build_gan_model(cfg) -> GANModel:
         if extra:
             g_cfg["synthesis_kwargs"] = dict(
                 g_cfg.get("synthesis_kwargs", {}) or {}, **extra)
+    # tpu.compute_dtype drives BOTH nets: the D's block pyramid runs in the
+    # same compute dtype (epilogue stays f32 — see CoModDiscriminator).
+    # Found by the round-4 train-step profile: with only G switched, the D
+    # fwd/bwd/R1 subgraphs ran f32 convs with 2x layout padding.
+    if compute_dtype and compute_dtype != "float32" \
+            and "compute_dtype" not in d_cfg:
+        d_cfg["compute_dtype"] = compute_dtype
     generator = build_generator(g_cfg)
     discriminator = build_discriminator(d_cfg)
     gan_config = GANConfig(

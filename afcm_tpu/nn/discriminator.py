@@ -118,6 +118,13 @@ class CoModDiscriminator(nn.Module):
     block_kwargs: Any = None
     mapping_kwargs: Any = None
     epilogue_kwargs: Any = None
+    # Mixed-precision blocks (TPU analog of the reference's per-block
+    # ``use_fp16`` machinery, CoModGAN/generator.py:625-638 — default off
+    # there and here). Params stay f32; block activations run in this dtype
+    # (Conv2dLayer casts weights to the input dtype) and the epilogue
+    # restores f32 exactly like the reference's fp32 b4 block. bf16 keeps
+    # f32's exponent range, so no conv_clamp is required for safety.
+    compute_dtype: str = "float32"
 
     @property
     def block_resolutions(self) -> List[int]:
@@ -139,6 +146,7 @@ class CoModDiscriminator(nn.Module):
                       conv_clamp=self.conv_clamp)
 
         x = None
+        img = img.astype(jnp.dtype(self.compute_dtype))
         for res in self.block_resolutions:
             in_channels = self.channels(res) if res < self.img_resolution else 0
             x, img = DiscriminatorBlock(

@@ -107,7 +107,7 @@ tpu:
   compute_dtype: bfloat16
   transfer_dtype: uint8
   remat: {remat}
-  remat_min_size: 200
+  remat_min_size: 140  # 200 OOMs with the bf16 D (BASELINE.md boundaries)
 predictor:
   patch_halo: [0, 0, 0]
 checkpoints_dir: '{root}/checkpoints'

@@ -4,9 +4,12 @@ end-to-end; this splits it into HLO-category buckets + top ops so the
 backward/remat recompute share, the R1 double-grad cost, and the
 optimizer/EMA tail become visible.
 
-Run: python scripts/profile_train_step.py [batch] [remat_min] [with_r1]
-Defaults: batch 16, remat_min 200, with_r1 1 (the shipped bf16 config).
+Run: python scripts/profile_train_step.py [batch] [remat_min] [with_r1] [d_dtype]
+Defaults: batch 16, remat_min 200, with_r1 1, d_dtype bfloat16 (the shipped
+bf16 config — tpu.compute_dtype drives both nets since round 4).
 Compare with_r1=0 to isolate the R1 double-grad subgraph's device share.
+NOTE: the no-R1 executable at remat_min 200 with an f32 D OOMs by 44 MB
+(BASELINE.md memory boundaries) — use remat_min 140 for that combination.
 """
 
 import os
@@ -26,6 +29,7 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     remat_min = int(sys.argv[2]) if len(sys.argv) > 2 else 200
     with_r1 = bool(int(sys.argv[3])) if len(sys.argv) > 3 else True
+    d_dtype = sys.argv[4] if len(sys.argv) > 4 else "bfloat16"
     from afcm_tpu.models import GANConfig, GANModel, build_discriminator, \
         build_generator
 
@@ -38,7 +42,8 @@ def main():
                                        compute_dtype="bfloat16", remat=True,
                                        remat_min_size=remat_min))
     d_cfg = dict(netD="comodgan", c_dim=1, img_resolution=256,
-                 img_channels=5, channel_base=16384, channel_max=512)
+                 img_channels=5, channel_base=16384, channel_max=512,
+                 compute_dtype=d_dtype)
     cfg = GANConfig(z_dim=512, c_dim=1, batch_size=batch,
                     blur_init_sigma=0.0, r1_interval=1 if with_r1 else 2)
     model = GANModel(build_generator(g_cfg), build_discriminator(d_cfg), cfg)
@@ -72,8 +77,8 @@ def main():
     if parsed is None:
         print("no trace captured (axon tunnel may not export device traces)")
         return
-    print_profile(f"train step b{batch} remat>={remat_min} r1={with_r1}",
-                  parsed, top_n=30)
+    print_profile(f"train step b{batch} remat>={remat_min} r1={with_r1} "
+                  f"D={d_dtype}", parsed, top_n=30)
 
 
 if __name__ == "__main__":

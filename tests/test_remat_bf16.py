@@ -97,3 +97,40 @@ def test_config_knobs_build(rng):
     model = build_gan_model(cfg)
     assert model.generator.synthesis_kwargs["compute_dtype"] == "bfloat16"
     assert model.generator.synthesis_kwargs["remat"] is True
+
+
+def test_discriminator_bf16_close_to_fp32(rng):
+    """tpu.compute_dtype drives the D block pyramid too (round 4): bf16
+    blocks + f32 epilogue (the TPU analog of the reference's per-block
+    use_fp16, CoModGAN/generator.py:625-638). Same params, loose drift."""
+    from afcm_tpu.nn import CoModDiscriminator
+    img = jnp.asarray(rng.randn(4, 5, 32, 32), jnp.float32)
+    c = jnp.asarray(rng.rand(4, 1), jnp.float32)
+    kw = dict(c_dim=1, img_resolution=32, img_channels=5, channel_base=2048,
+              channel_max=64, epilogue_kwargs=dict(mbstd_group_size=2))
+    d32 = CoModDiscriminator(**kw)
+    dbf = CoModDiscriminator(compute_dtype="bfloat16", **kw)
+    variables = d32.init(jax.random.PRNGKey(0), img, c)
+    out32 = np.asarray(d32.apply(variables, img, c))
+    out16 = np.asarray(dbf.apply(variables, img, c))
+    assert out16.dtype == np.float32  # epilogue restores f32
+    rel = np.abs(out32 - out16).max() / (np.abs(out32).max() + 1e-9)
+    assert rel < 0.05, rel
+    # R1-style input gradient also flows (through the bf16 cast).
+    g = jax.grad(lambda im: jnp.sum(dbf.apply(variables, im, c)))(img)
+    assert np.asarray(g).dtype == np.float32
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_config_compute_dtype_reaches_discriminator(rng):
+    from afcm_tpu.config import get_default_cfg, apply_model_defaults
+    from afcm_tpu.models import build_gan_model
+    cfg = get_default_cfg()
+    apply_model_defaults(cfg, "stylegan3")
+    cfg.tpu.compute_dtype = "bfloat16"
+    model = build_gan_model(cfg)
+    assert model.discriminator.compute_dtype == "bfloat16"
+    cfg2 = get_default_cfg()
+    apply_model_defaults(cfg2, "stylegan3")
+    model2 = build_gan_model(cfg2)
+    assert model2.discriminator.compute_dtype == "float32"
