@@ -5,11 +5,11 @@ backward/remat recompute share, the R1 double-grad cost, and the
 optimizer/EMA tail become visible.
 
 Run: python scripts/profile_train_step.py [batch] [remat_min] [with_r1] [d_dtype]
-Defaults: batch 16, remat_min 200, with_r1 1, d_dtype bfloat16 (the shipped
+Defaults: batch 16, remat_min 140, with_r1 1, d_dtype bfloat16 (the shipped
 bf16 config — tpu.compute_dtype drives both nets since round 4).
 Compare with_r1=0 to isolate the R1 double-grad subgraph's device share.
-NOTE: the no-R1 executable at remat_min 200 with an f32 D OOMs by 44 MB
-(BASELINE.md memory boundaries) — use remat_min 140 for that combination.
+NOTE: remat_min 200 OOMs with the bf16 D (and with the no-R1 f32-D
+executable) — BASELINE.md memory boundaries; 140 is runtime-neutral.
 """
 
 import os
@@ -27,7 +27,7 @@ from afcm_tpu.utils.profiling import host_sync as sync  # noqa: E402
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    remat_min = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    remat_min = int(sys.argv[2]) if len(sys.argv) > 2 else 140
     with_r1 = bool(int(sys.argv[3])) if len(sys.argv) > 3 else True
     d_dtype = sys.argv[4] if len(sys.argv) > 4 else "bfloat16"
     from afcm_tpu.models import GANConfig, GANModel, build_discriminator, \
