@@ -154,7 +154,11 @@ def get_default_cfg() -> CfgNode:
     c.tpu.matmul_precision = "default"  # default | high | highest
     c.tpu.remat = False
     c.tpu.remat_min_size = 0   # remat only layers >= this spatial size
-    c.tpu.filtered_lrelu_impl = "auto"  # auto | xla | pallas
+    # xla | auto | pallas. 'xla' since round 4: the banded-MXU kernel routing
+    # ('auto') ties the XLA composition in the forward but loses 8.4% in the
+    # full train step (wrapper gather tax triples under grad + remat; see
+    # docs/experiments.md and ops/filtered_lrelu.py's default-history note).
+    c.tpu.filtered_lrelu_impl = "xla"
     # Serving input transfer: "uint8" ships test patches host->device in the
     # volume's stored byte dtype and moves the Normalize->[-1,1] chain into
     # the jitted forward (4x less PCIe/tunnel traffic; matches the float

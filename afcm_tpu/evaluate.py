@@ -134,7 +134,7 @@ def configure_ops(cfg):
     and ``tpu.matmul_precision``. Shared by the evaluate and serve CLIs
     so deployment serves exactly the numerics that were scored."""
     from .ops.filtered_lrelu import set_default_impl
-    set_default_impl(getattr(cfg.tpu, "filtered_lrelu_impl", "auto"))
+    set_default_impl(getattr(cfg.tpu, "filtered_lrelu_impl", "xla"))
     if getattr(cfg.tpu, "conv_int8", False):
         from .ops.modulated_conv import set_conv_impl
         set_conv_impl("int8",

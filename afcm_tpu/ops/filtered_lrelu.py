@@ -33,8 +33,19 @@ from .upfirdn2d import parse_padding
 from .upfirdn2d import upfirdn2d as _upfirdn2d_fn
 
 
-_DEFAULT_IMPL = "auto"
-# Pruned experiment knobs (round 4; full ledger in docs/experiments.md):
+_DEFAULT_IMPL = "xla"
+# Default history (full ledger in docs/experiments.md): 'auto' (the measured
+# per-layer Pallas routing) won +3.4% e2e in round 2, went neutral in round 3
+# once conv channel padding sped the XLA baseline up (75.99 xla vs 75.74
+# auto forward, same process), and measured -8.4% in the FULL train step in
+# round 4 (auto 1025.4 / xla 939.4 / auto 1025.5 ms bracketed,
+# scripts/bench_train_impl.py): under grad + remat the routed layers run 3x
+# (fwd, custom_vjp bwd, recompute), so the wrapper's gather/reassembly tax
+# triples while the kernel's fusion win does not. 'xla' is therefore the
+# measured-best default for BOTH training and serving on v5e; the kernel
+# stays one knob away ('auto'/'pallas') for chips or shapes where the
+# balance flips back.
+# Pruned experiment knobs (round 4):
 #  * _FIR_CHANNEL_PAD (odd-channel pad inside the chain) — in-model NEUTRAL;
 #  * _BO_ALIGN (lane-aligned W output tiles) — in-model 0.90x, a clear loss.
 # Both deleted rather than kept off: re-run scripts/bench_model_sweep.py
@@ -43,10 +54,12 @@ _DEFAULT_IMPL = "auto"
 
 def set_default_impl(impl: str):
     """Select the global filtered_lrelu implementation:
-    'xla'    — fused conv composition only;
+    'xla'    — fused conv composition only (the default: measured-best in
+               the train step, ties the routed kernel in the forward —
+               see the default-history note above);
     'pallas' — force the banded-MXU kernel wherever it supports the config;
-    'auto'   — measured per-layer routing (kernel only where it beats XLA
-               on v5e; see _route_to_pallas), the default."""
+    'auto'   — measured per-layer routing (kernel only where it beat XLA
+               on v5e in round 2; see _route_to_pallas)."""
     global _DEFAULT_IMPL
     assert impl in ("xla", "pallas", "auto")
     _DEFAULT_IMPL = impl

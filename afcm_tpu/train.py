@@ -77,7 +77,7 @@ def train(cfg, max_iters: Optional[int] = None) -> Dict[str, float]:
     from .ops.filtered_lrelu import set_default_impl
     # The banded-MXU pallas kernel carries a custom_vjp, so training and
     # inference share the same per-layer routing ('auto' default).
-    set_default_impl(getattr(cfg.tpu, "filtered_lrelu_impl", "auto"))
+    set_default_impl(getattr(cfg.tpu, "filtered_lrelu_impl", "xla"))
     if cfg.tpu.matmul_precision != "default":
         jax.config.update("jax_default_matmul_precision",
                           cfg.tpu.matmul_precision)

@@ -51,7 +51,10 @@ def main():
     remat_min = int(sys.argv[2]) if len(sys.argv) > 2 else 140
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
-    from afcm_tpu.ops import filtered_lrelu as fl
+    import importlib
+    # the ops package re-exports the function under the same name; import
+    # the module itself for the impl switch
+    fl = importlib.import_module("afcm_tpu.ops.filtered_lrelu")
 
     rng = np.random.RandomState(0)
     batch_data = {

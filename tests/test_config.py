@@ -23,6 +23,20 @@ def test_defaults_tree():
     assert cfg.loss.lambda_r1 == 10.0
 
 
+def test_filtered_lrelu_impl_default_is_xla():
+    """'xla' is the measured-best default since round 4: the Pallas-routed
+    'auto' ties the forward but loses 8.4% in the full train step
+    (scripts/bench_train_impl.py; docs/experiments.md). Config default and
+    the ops-module default must agree."""
+    import importlib
+    import inspect
+    fl = importlib.import_module("afcm_tpu.ops.filtered_lrelu")
+    assert get_default_cfg().tpu.filtered_lrelu_impl == "xla"
+    # The module global may have been switched by an earlier test in this
+    # process; pin the shipped initial value via the source instead.
+    assert '_DEFAULT_IMPL = "xla"' in inspect.getsource(fl)
+
+
 def test_adni_cmsr_config():
     cfg = setup(_Args(os.path.join(REPO, "configs/adni/stylegan3/cmsr.yml")))
     assert cfg.model.name == "stylegan3"

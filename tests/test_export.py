@@ -189,6 +189,7 @@ def test_export_pins_op_impls(tiny):
     fl = importlib.import_module("afcm_tpu.ops.filtered_lrelu")
     res = cfg.model.G.img_resolution
     c_in = cfg.model.G.img_channels_in
+    prev_conv, prev_fl = mc.get_conv_impl(), fl.get_default_impl()
     mc.set_conv_impl("int8")
     fl.set_default_impl("pallas")
     try:
@@ -197,8 +198,8 @@ def test_export_pins_op_impls(tiny):
         assert fl.get_default_impl() == "pallas"
         assert "custom_call" not in exported.mlir_module()
     finally:
-        mc.set_conv_impl("xla")
-        fl.set_default_impl("auto")
+        mc.set_conv_impl(prev_conv)
+        fl.set_default_impl(prev_fl)
 
 
 def test_serve_cli_artifact_matches_in_process(tiny, tmp_path):
