@@ -180,6 +180,19 @@ def upfirdn2d(x, f, up=1, down=1, padding=0, flip_filter=False, gain=1,
         return _upfirdn2d_banded(x, f, upx, upy, downx, downy, px0, px1,
                                  py0, py1, flip_filter, gain)
 
+    if _CUSTOM_GRAD:
+        taps_key = None if f is None else \
+            (tuple(f.ravel().tolist()), f.shape)
+        return _custom_conv_op(taps_key, upx, upy, downx, downy,
+                               px0, px1, py0, py1, bool(flip_filter),
+                               float(gain), in_h, in_w)(x)
+    return _conv_path(x, f, upx, upy, downx, downy, px0, px1, py0, py1,
+                      flip_filter, gain)
+
+
+def _conv_path(x, f, upx, upy, downx, downy, px0, px1, py0, py1,
+               flip_filter, gain):
+    """The fused conv_general_dilated lowering (f = raw numpy taps or None)."""
     if f is None:
         f = np.ones([1, 1], dtype=np.float32)
 
@@ -199,6 +212,62 @@ def upfirdn2d(x, f, up=1, down=1, padding=0, flip_filter=False, gain=1,
         return x
     return _depthwise_conv2d(x, f, up=(upx, upy), down=(downx, downy),
                              pad=(px0, px1, py0, py1))
+
+
+_CUSTOM_GRAD = True
+
+
+def set_custom_grad(on: bool):
+    """Toggle the swapped-filter custom VJP (default on).
+
+    JAX's autodiff of the strided/dilated FIR convs produces transposed
+    convs that the TPU compiler lowers through data reversals (the 'reverse'
+    HLO bucket in the train-step profile). The custom VJP expresses the
+    backward as the mathematically identical *forward-form* upfirdn with
+    up/down swapped, the static filter flipped at trace time, and the
+    transposed padding — the reference's own backward construction
+    (torch_utils/ops/upfirdn2d.py:250-268)."""
+    global _CUSTOM_GRAD
+    _CUSTOM_GRAD = bool(on)
+
+
+@functools.lru_cache(maxsize=None)
+def _custom_conv_op(taps_key, upx, upy, downx, downy, px0, px1, py0, py1,
+                    flip_filter, gain, in_h, in_w):
+    """Cached custom-VJP wrapper of the conv path for one static config.
+
+    The cache is keyed on every static argument including the input H/W
+    (the transposed padding needs them); one entry per layer config."""
+    if taps_key is None:
+        f = None
+    else:
+        taps, shape = taps_key
+        f = np.asarray(taps, np.float32).reshape(shape)
+    fw, fh = filter_size(f)
+
+    @jax.custom_vjp
+    def op(x):
+        return _conv_path(x, f, upx, upy, downx, downy, px0, px1, py0, py1,
+                          flip_filter, gain)
+
+    def op_fwd(x):
+        return op(x), None
+
+    def op_bwd(_, dy):
+        # Reference backward (torch_utils/ops/upfirdn2d.py:250-268): the
+        # transpose of upfirdn(up, down, p, f) is upfirdn(down, up, p', f
+        # flipped) with the same gain.
+        oh, ow = int(dy.shape[2]), int(dy.shape[3])
+        p = (fw - px0 - 1,
+             in_w * upx - ow * downx + px0 - upx + 1,
+             fh - py0 - 1,
+             in_h * upy - oh * downy + py0 - upy + 1)
+        dx = upfirdn2d(dy, f, up=(downx, downy), down=(upx, upy), padding=p,
+                       flip_filter=not flip_filter, gain=gain)
+        return (dx,)
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
 
 
 def filter2d(x, f, padding=0, flip_filter=False, gain=1):
