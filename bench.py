@@ -46,9 +46,10 @@ def _watchdog(signum=None, frame=None):
         "detail": {"error": f"TPU unresponsive: no completion within "
                             f"{WATCHDOG_SECS}s (axon tunnel wedge; see "
                             f"docs/performance.md round-3 ops note)",
-                   "last_measured": {"bfloat16_b32": 74.0,
+                   "last_measured": {"bfloat16_b16": 73.74,
                                      "float32_b16": 61.0,
-                                     "when": "2026-08-17 session, median-of-3"
+                                     "when": "2026-08-19 round-4 bench.py, "
+                                             "median-of-3 spread 73.3-74.0"
                                              " (BASELINE.md measured table)"}},
     }), flush=True)
     os._exit(2)
