@@ -32,22 +32,10 @@ def main():
     # executables. Measured: on 1042 ms, off 993 ms (the step is
     # G-dominated; lazy R1 buys ~5% per off-step).
     remat_min = int(sys.argv[3]) if len(sys.argv) > 3 else 140
-    from afcm_tpu.models import GANConfig, GANModel, build_discriminator, \
-        build_generator
-
-    g_cfg = dict(netG="stylegan3", z_dim=512, c_dim=1, w_dim=512,
-                 img_resolution=256, img_channels_in=4, img_channels_out=1,
-                 mapping_kwargs=dict(num_layers=8),
-                 synthesis_kwargs=dict(channel_base=16384, channel_max=512,
-                                       num_layers=14, skip_resolution=128,
-                                       lrelu_upsampling=2, conv_clamp=256,
-                                       compute_dtype="bfloat16", remat=True,
-                                       remat_min_size=remat_min))
-    d_cfg = dict(netD="comodgan", c_dim=1, img_resolution=256,
-                 img_channels=5, channel_base=16384, channel_max=512)
-    cfg = GANConfig(z_dim=512, c_dim=1, batch_size=batch,
-                    blur_init_sigma=0.0, r1_interval=interval)
-    model = GANModel(build_generator(g_cfg), build_discriminator(d_cfg), cfg)
+    # Shipped round-4 config: bf16 both nets, impl xla + upfirdn custom VJP
+    # (module defaults since round 4) — the 853 ms/step base.
+    from bench_train_impl import make_model
+    model = make_model(batch, remat_min)
 
     rng = np.random.RandomState(0)
     batch_data = {
