@@ -154,6 +154,18 @@ def get_default_cfg() -> CfgNode:
     c.tpu.matmul_precision = "default"  # default | high | highest
     c.tpu.remat = False
     c.tpu.remat_min_size = 0   # remat only layers >= this spatial size
+    # Share one G forward between the D and G train phases (compute the fake
+    # + its VJP once instead of re-forwarding for the G loss). The
+    # reference's pix2pix branch shares its forward exactly this way
+    # (pix2pix_model.py:163-174); its comodgan/stylegan3 branches re-forward
+    # per phase, which only redraws dropout. Measured on v5e (full-size
+    # stylegan3 step, b16 bf16, bracketed same-process): 853.1 -> 761.4
+    # ms/step, +12.1% (scripts/bench_train_shared.py) — the win is the
+    # decoder's second forward; XLA already CSE'd the pre-dropout encoder
+    # halves. Gradient-exactness vs the two-forward step whenever the two
+    # phases' rngs coincide is pinned in tests/test_train_step.py. Set False
+    # for the reference's exact fresh-dropout-per-phase semantics.
+    c.tpu.shared_g_fwd = True
     # xla | auto | pallas. 'xla' since round 4: the banded-MXU kernel routing
     # ('auto') ties the XLA composition in the forward but loses 8.4% in the
     # full train step (wrapper gather tax triples under grad + remat; see

@@ -133,7 +133,9 @@ def build_gan_model(cfg) -> GANModel:
         ema_ramp=None if cfg.scheduler.ema.ramp in (None, "None") else
         cfg.scheduler.ema.ramp,
         blur_init_sigma=getattr(cfg.loss, "blur_init_sigma", 0.0),
-        blur_fade_kimg=getattr(cfg.loss, "blur_fade_kimg", 0.0))
+        blur_fade_kimg=getattr(cfg.loss, "blur_fade_kimg", 0.0),
+        shared_g_fwd=bool(cfg.tpu.get("shared_g_fwd", False))
+        if hasattr(cfg, "tpu") else False)
     return GANModel(generator, discriminator, gan_config)
 
 

@@ -8,7 +8,9 @@ jitted function over a `GANTrainState`, so XLA schedules the entire step as a
 single program resident on device.
 
 Semantics preserved from the reference:
-  * two independent G forwards per step (fresh dropout/noise each phase)
+  * two independent G forwards per step (fresh dropout/noise each phase);
+    `GANConfig.shared_g_fwd` collapses them into one forward + captured VJP
+    (the reference's own pix2pix branch shares its forward the same way)
   * softplus GAN losses, R1 on reals through the blur, blurred L1
   * Adam(0, 0.99) eps 1e-8, per-step gradient NaN/Inf scrubbing
   * EMA lerp of G params + buffer copy every step
@@ -65,6 +67,20 @@ class GANConfig:
     # Style mixing regularization probability (reference keeps the hook at 0,
     # comodgan_model.py:31; supported here for completeness).
     style_mixing_prob: float = 0.0
+    # Share ONE G forward between the D and G phases (the reference's own
+    # pix2pix branch does exactly this — pix2pix_model.py:163-174 runs
+    # forward() once and reuses fake_B for backward_D (detached) and
+    # backward_G; the comodgan/stylegan3 branches instead re-forward per
+    # phase, stylegan3_model.py:119,129, whose only observable effect is a
+    # fresh dropout draw for the G phase). With sharing, the fake and its
+    # VJP are computed once: the step drops a full G forward (~200 ms of
+    # 853 on v5e, measured in scripts/bench_train_shared.py). Gradients are
+    # bit-identical to the two-forward step whenever the two phases' rngs
+    # coincide (pinned in tests/test_train_step.py). Deviations when ON:
+    # the G loss sees the D-phase dropout mask (same distribution), and
+    # mappers that EMA w_avg every training forward (the CoModGAN branch)
+    # update it once per step instead of twice.
+    shared_g_fwd: bool = False
 
 
 class GANModel:
@@ -207,10 +223,23 @@ class GANModel:
         tx_d = make_optimizer(cfg.lr_d, cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps)
 
         # ---- D phase (G frozen; reference stylegan3_model.py:117-125) ----
-        fake_b_d, moments_g = self._run_g(
-            jax.lax.stop_gradient(state.params_G), state.moments_G,
-            state.constants_G, z, c, real_a, real_b, rng_gd, train=True)
-        fake_b_d = jax.lax.stop_gradient(fake_b_d)
+        g_vjp = None
+        if cfg.shared_g_fwd:
+            # One forward serves both phases: capture the VJP now, pull the
+            # G-phase head gradient back through it after the D update.
+            def g_fwd(params_g):
+                return self._run_g(params_g, state.moments_G,
+                                   state.constants_G, z, c, real_a, real_b,
+                                   rng_gd, train=True)
+
+            fake_b_shared, g_vjp, moments_g = jax.vjp(
+                g_fwd, state.params_G, has_aux=True)
+            fake_b_d = jax.lax.stop_gradient(fake_b_shared)
+        else:
+            fake_b_d, moments_g = self._run_g(
+                jax.lax.stop_gradient(state.params_G), state.moments_G,
+                state.constants_G, z, c, real_a, real_b, rng_gd, train=True)
+            fake_b_d = jax.lax.stop_gradient(fake_b_d)
 
         def d_loss_fn(params_d):
             fake_ab = self._d_input(real_a, fake_b_d)
@@ -236,19 +265,30 @@ class GANModel:
         params_d = jax.tree.map(lambda p, u: p + u, state.params_D, d_updates)
 
         # ---- G phase (reference stylegan3_model.py:126-135) ----
-        def g_loss_fn(params_g):
-            fake_b, new_moments = self._run_g(
-                params_g, moments_g, state.constants_G, z, c, real_a, real_b,
-                rng_gg, train=True)
+        def g_head(fake_b):
+            """GAN + L1 head on a fake image, through the UPDATED D (the
+            reference updates D before the G phase, stylegan3_model.py:125)."""
             fake_ab = self._d_input(real_a, fake_b)
             gen_logits = self._run_d(params_d, fake_ab, c, sigma)
             loss_gan = losses.softplus_g_loss(gen_logits)
             loss_l1 = losses.l1_loss(self._blur(fake_b, sigma),
                                      self._blur(real_b, sigma)) * cfg.lambda_l1
-            return loss_gan + loss_l1, (loss_gan, loss_l1, new_moments)
+            return loss_gan + loss_l1, (loss_gan, loss_l1)
 
-        (_, (loss_g_gan, loss_g_l1, moments_g)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(state.params_G)
+        if cfg.shared_g_fwd:
+            (_, (loss_g_gan, loss_g_l1)), head_grad = jax.value_and_grad(
+                g_head, has_aux=True)(fake_b_shared)
+            (g_grads,) = g_vjp(head_grad)
+        else:
+            def g_loss_fn(params_g):
+                fake_b, new_moments = self._run_g(
+                    params_g, moments_g, state.constants_G, z, c, real_a,
+                    real_b, rng_gg, train=True)
+                loss, (loss_gan, loss_l1) = g_head(fake_b)
+                return loss, (loss_gan, loss_l1, new_moments)
+
+            (_, (loss_g_gan, loss_g_l1, moments_g)), g_grads = \
+                jax.value_and_grad(g_loss_fn, has_aux=True)(state.params_G)
         g_grads = losses.nan_to_num_grads(g_grads)
         g_updates, opt_state_g = tx_g.update(g_grads, state.opt_state_G,
                                              state.params_G)

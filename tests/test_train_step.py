@@ -173,3 +173,64 @@ def test_lazy_r1(state):
     leaves1 = jax.tree.leaves(s1.params_D)
     leaves2 = jax.tree.leaves(s2.params_D)
     assert any(bool(jnp.any(a != b)) for a, b in zip(leaves1, leaves2))
+
+
+def test_shared_g_fwd_exactness(state):
+    """`shared_g_fwd` (one G forward + captured VJP serving both phases)
+    must match the two-forward step whenever the two phases' rngs coincide:
+    the only semantic difference between the reference's re-forward
+    (stylegan3_model.py:119,129) and sharing is the G phase's fresh
+    dropout/noise draw, so with rng_gd == rng_gg the steps are equivalent.
+    """
+    rng = np.random.RandomState(8)
+    batch = _batch(rng)
+    z = jnp.asarray(np.random.RandomState(9).randn(2, 32), jnp.float32)
+    key = jax.random.PRNGKey(5)
+
+    m_ref = _make_model()
+    m_sh = _make_model(shared_g_fwd=True)
+    nimg = jnp.asarray(0.0)
+
+    run_ref = jax.jit(lambda st: m_ref._train_step_impl(
+        st, batch, z, key, key, nimg))
+    run_sh = jax.jit(lambda st: m_sh._train_step_impl(
+        st, batch, z, key, key, nimg))
+    s_ref, met_ref = run_ref(jax.tree.map(jnp.copy, state))
+    s_sh, met_sh = run_sh(jax.tree.map(jnp.copy, state))
+
+    for k in met_ref:
+        np.testing.assert_allclose(float(met_ref[k]), float(met_sh[k]),
+                                   rtol=1e-5, err_msg=k)
+    # D path sees the identical (stop-gradient) fake in both modes.
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(s_ref.params_D),
+            jax.tree_util.tree_leaves_with_path(s_sh.params_D)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=1e-6, err_msg=jax.tree_util.keystr(pa))
+    # G params: gradients are the same chain rule either way; Adam at step 1
+    # is sign-like (m/sqrt(v) ~ sign(g)), so compare with an atol that admits
+    # fp32 scheduling drift on near-zero gradient leaves.
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(s_sh.params_G),
+            jax.tree_util.tree_leaves_with_path(s_ref.params_G)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=1e-6, err_msg=jax.tree_util.keystr(pa))
+
+
+def test_shared_g_fwd_with_style_mixing():
+    """The shared path also covers the style-mixing forward (vjp through
+    _run_g_mixed)."""
+    rng = np.random.RandomState(10)
+    batch = _batch(rng)
+    m = _make_model(shared_g_fwd=True, style_mixing_prob=0.9)
+    st = m.init_state(jax.random.PRNGKey(0), batch)
+    st0 = jax.tree.map(jnp.copy, st)  # train_step donates st
+    new_state, metrics = m.train_step(st, batch, jax.random.PRNGKey(2),
+                                      jnp.asarray(0.0))
+    st = st0
+    for key in ("G_GAN", "G_L1", "D_real", "D_fake", "D_r1"):
+        assert np.isfinite(float(metrics[key])), key
+    changed = any(not np.allclose(x, y) for x, y in
+                  zip(jax.tree.leaves(new_state.params_G),
+                      jax.tree.leaves(st.params_G)))
+    assert changed
