@@ -4,9 +4,10 @@ end-to-end; this splits it into HLO-category buckets + top ops so the
 backward/remat recompute share, the R1 double-grad cost, and the
 optimizer/EMA tail become visible.
 
-Run: python scripts/profile_train_step.py [batch] [remat_min] [with_r1] [d_dtype]
-Defaults: batch 16, remat_min 140, with_r1 1, d_dtype bfloat16 (the shipped
-bf16 config — tpu.compute_dtype drives both nets since round 4).
+Run: python scripts/profile_train_step.py [batch] [remat_min] [with_r1] [d_dtype] [shared]
+Defaults: batch 16, remat_min 140, with_r1 1, d_dtype bfloat16, shared 1
+(the shipped bf16 config — tpu.compute_dtype drives both nets and
+tpu.shared_g_fwd is on since round 4).
 Compare with_r1=0 to isolate the R1 double-grad subgraph's device share.
 NOTE: remat_min 200 OOMs with the bf16 D (and with the no-R1 f32-D
 executable) — BASELINE.md memory boundaries; 140 is runtime-neutral.
@@ -44,8 +45,10 @@ def main():
     d_cfg = dict(netD="comodgan", c_dim=1, img_resolution=256,
                  img_channels=5, channel_base=16384, channel_max=512,
                  compute_dtype=d_dtype)
+    shared = bool(int(sys.argv[5])) if len(sys.argv) > 5 else True
     cfg = GANConfig(z_dim=512, c_dim=1, batch_size=batch,
-                    blur_init_sigma=0.0, r1_interval=1 if with_r1 else 2)
+                    blur_init_sigma=0.0, r1_interval=1 if with_r1 else 2,
+                    shared_g_fwd=shared)
     model = GANModel(build_generator(g_cfg), build_discriminator(d_cfg), cfg)
 
     rng = np.random.RandomState(0)
