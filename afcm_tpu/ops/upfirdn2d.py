@@ -14,7 +14,7 @@ up/pad/down per dimension; XLA schedules both onto the VPU without any
 intermediate HBM round-trip beyond the single temp.
 
 Semantics match reference torch_utils/ops/upfirdn2d.py:118-211 bit-for-bit in
-fp32 (validated by tests/test_torch_parity.py).
+fp32 (validated by tests/test_ops_parity.py).
 """
 
 from __future__ import annotations

@@ -27,7 +27,12 @@ import jax.numpy as jnp
 from afcm_tpu.utils.profiling import host_sync as sync  # noqa: E402
 
 
-def make_model(batch, remat_min):
+def make_model(batch, remat_min, shared_g_fwd=False, r1_interval=1):
+    """The round-4 full-size AFCM training config, one source for every
+    chip script (impl xla + upfirdn custom VJP come from the module
+    defaults). shared_g_fwd=True is the shipped default
+    (config/defaults.py tpu.shared_g_fwd); this A/B predates it and
+    measures the two-forward base unless asked otherwise."""
     from afcm_tpu.models import GANConfig, GANModel, build_discriminator, \
         build_generator
     g_cfg = dict(netG="stylegan3", z_dim=512, c_dim=1, w_dim=512,
@@ -42,7 +47,8 @@ def make_model(batch, remat_min):
                  img_channels=5, channel_base=16384, channel_max=512,
                  compute_dtype="bfloat16")
     cfg = GANConfig(z_dim=512, c_dim=1, batch_size=batch,
-                    blur_init_sigma=0.0)
+                    blur_init_sigma=0.0, shared_g_fwd=shared_g_fwd,
+                    r1_interval=r1_interval)
     return GANModel(build_generator(g_cfg), build_discriminator(d_cfg), cfg)
 
 

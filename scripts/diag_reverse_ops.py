@@ -15,31 +15,21 @@ import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
+from _chip_util import start_watchdog, tiny_probe
+from bench_train_impl import make_model
+
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    from afcm_tpu.models import GANConfig, GANModel, build_discriminator, \
-        build_generator
-
-    g_cfg = dict(netG="stylegan3", z_dim=512, c_dim=1, w_dim=512,
-                 img_resolution=256, img_channels_in=4, img_channels_out=1,
-                 mapping_kwargs=dict(num_layers=8),
-                 synthesis_kwargs=dict(channel_base=16384, channel_max=512,
-                                       num_layers=14, skip_resolution=128,
-                                       lrelu_upsampling=2, conv_clamp=256,
-                                       compute_dtype="bfloat16", remat=True,
-                                       remat_min_size=140))
-    d_cfg = dict(netD="comodgan", c_dim=1, img_resolution=256,
-                 img_channels=5, channel_base=16384, channel_max=512,
-                 compute_dtype="bfloat16")
-    cfg = GANConfig(z_dim=512, c_dim=1, batch_size=batch,
-                    blur_init_sigma=0.0, r1_interval=1, shared_g_fwd=True)
-    model = GANModel(build_generator(g_cfg), build_discriminator(d_cfg), cfg)
+    tiny_probe()
+    # Shipped round-4 config (one source: bench_train_impl.make_model).
+    model = make_model(batch, remat_min=140, shared_g_fwd=True)
 
     rng = np.random.RandomState(0)
     bd = {"A": jnp.asarray(rng.randn(batch, 4, 256, 256).clip(-1, 1),
@@ -49,8 +39,12 @@ def main():
           "slice_idx": jnp.asarray(rng.rand(batch, 1), jnp.float32)}
     state = model.init_state(jax.random.PRNGKey(0), bd)
     step = jax.jit(functools.partial(model.train_step, with_r1=True))
+    # The train-step compile runs 2-3 min over the tunnel; a wedge here
+    # would otherwise hang forever (CLAUDE.md ops guidance).
+    wd = start_watchdog(1200, "train-step compile")
     txt = step.lower(state, bd, jax.random.PRNGKey(1),
                      jnp.asarray(0.0)).compile().as_text()
+    wd.cancel()
     with open("/tmp/train_step_hlo.txt", "w") as f:
         f.write(txt)
     print("HLO saved to /tmp/train_step_hlo.txt")
@@ -58,7 +52,7 @@ def main():
     rows = []
     for line in txt.splitlines():
         ls = line.strip()
-        if not re.match(r"\S+ = \S+ reverse\(", ls):
+        if not re.match(r"(?:ROOT )?\S+ = \S+ reverse\(", ls):
             continue
         shape = re.search(r"= ((?:bf16|f32|s32|u8)\[[0-9,]*\][^ ]*) reverse",
                           ls)

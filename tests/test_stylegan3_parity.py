@@ -122,3 +122,123 @@ def test_generator_param_shapes_complete(ref, torch_gen):
     init_paths = {jax.tree_util.keystr(p): v.shape for p, v in flat_init}
     port_paths = {jax.tree_util.keystr(p): v.shape for p, v in flat_port}
     assert init_paths == port_paths
+
+
+# ---------------------------------------------------------------------------
+# SynthesisInput (reference: networks_stylegan3.py:168-248). Dormant in the
+# AFCM U-net configs (the encoder replaces it) but shipped for upstream
+# parity — so it gets the same oracle treatment as the live modules.
+
+def _synthesis_input_pair(ref, seed, w_dim, channels, size, sampling_rate,
+                          bandwidth):
+    """Reference module (with a randomized affine head so the inverse
+    rotation/translation path is exercised, not the identity it inits to)
+    plus the ported variables for ours."""
+    torch = ref["torch"]
+    torch.manual_seed(seed)
+    tinp = ref["networks_stylegan3"].SynthesisInput(
+        w_dim=w_dim, channels=channels, size=size,
+        sampling_rate=sampling_rate, bandwidth=bandwidth).eval()
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(seed + 1)
+        # weight_init=0 zeroes the affine kernel, so at init t == bias ==
+        # (1,0,0,0) == identity for every w. Randomize both so each batch
+        # row gets a distinct non-identity rotation AND translation.
+        tinp.affine.weight.copy_(
+            torch.randn(tinp.affine.weight.shape, generator=g) * 3.0)
+        tinp.affine.bias.copy_(
+            torch.randn(tinp.affine.bias.shape, generator=g) * 0.5)
+    from afcm_tpu.nn.stylegan3 import SynthesisInput
+    jinp = SynthesisInput(w_dim=w_dim, channels=channels, size=size,
+                          sampling_rate=sampling_rate, bandwidth=bandwidth)
+    variables = state_dict_to_variables(tinp.state_dict())
+    return tinp, jinp, variables
+
+
+def _synthesis_input_oracle64(tinp, w):
+    """numpy float64 transcription of the reference forward
+    (networks_stylegan3.py:199-243; the torch module itself cannot run in
+    double — its internal torch.eye stays fp32)."""
+    freqs = tinp.freqs.numpy().astype(np.float64)
+    phases = tinp.phases.numpy().astype(np.float64)
+    aw = tinp.affine.weight.detach().numpy().astype(np.float64)
+    ab = tinp.affine.bias.detach().numpy().astype(np.float64)
+    weight = tinp.weight.detach().numpy().astype(np.float64)
+    sr, bw = float(tinp.sampling_rate), float(tinp.bandwidth)
+    size_x, size_y = int(tinp.size[0]), int(tinp.size[1])
+
+    t = w.astype(np.float64) @ (aw.T / np.sqrt(aw.shape[1])) + ab
+    t = t / np.linalg.norm(t[:, :2], axis=1, keepdims=True)
+    r_c, r_s, t_x, t_y = t[:, 0], t[:, 1], t[:, 2], t[:, 3]
+    rot = np.stack([np.stack([r_c, -r_s], -1),
+                    np.stack([r_s, r_c], -1)], -2)
+    freqs_b = np.einsum("cf,bfg->bcg", freqs, rot)
+    phases_b = phases[None] + freqs_b[:, :, 0] * (-t_x[:, None]) \
+        + freqs_b[:, :, 1] * (-t_y[:, None])
+    with np.errstate(divide="ignore"):  # sr/2 == bw edge case → ±inf, clipped
+        amp = np.clip(1 - (np.linalg.norm(freqs_b, axis=2) - bw)
+                      / (sr / 2 - bw), 0, 1)
+    cx = ((np.arange(size_x) * 2 + 1) / size_x - 1) * (0.5 * size_x / sr)
+    cy = ((np.arange(size_y) * 2 + 1) / size_y - 1) * (0.5 * size_y / sr)
+    gy, gx = np.meshgrid(cy, cx, indexing="ij")
+    grid = np.stack([gx, gy], axis=-1)
+    x = np.einsum("hwf,bcf->bhwc", grid, freqs_b) + phases_b[:, None, None, :]
+    x = np.sin(x * (np.pi * 2)) * amp[:, None, None, :]
+    x = x @ (weight.T / np.sqrt(weight.shape[1]))
+    return np.transpose(x, (0, 3, 1, 2))
+
+
+def _assert_synthesis_input_close(torch, tinp, got, w):
+    """fp32 parity with float64 adjudication: sin() of O(10) phase sums
+    amplifies fp32 rounding, so bound OUR fp32 error vs the float64 oracle
+    by the reference's OWN fp32 error vs the same oracle (same convention
+    as scripts/fuzz_ops_parity.py)."""
+    with torch.no_grad():
+        want32 = tinp(torch.from_numpy(w)).numpy()
+    want64 = _synthesis_input_oracle64(tinp, w)
+    np.testing.assert_allclose(got, want32, rtol=2e-2, atol=2e-4)  # floor
+    err_ref = np.abs(want32 - want64).max()
+    err_us = np.abs(got - want64).max()
+    assert err_us <= max(3 * err_ref, 1e-6), (err_us, err_ref)
+
+
+def test_synthesis_input_forward_parity(ref, rng):
+    torch = ref["torch"]
+    # The upstream input-layer shape family (networks_stylegan3.py:642-644):
+    # size = first_size + margin*2, sampling_rate = first_size.
+    tinp, jinp, variables = _synthesis_input_pair(
+        ref, seed=0, w_dim=64, channels=32, size=36, sampling_rate=16,
+        bandwidth=2)
+    w = rng.randn(4, 64).astype(np.float32)
+    got = np.asarray(jinp.apply(variables, jnp.asarray(w)))
+    assert got.shape == (4, 32, 36, 36)
+    _assert_synthesis_input_close(torch, tinp, got, w)
+
+
+@pytest.mark.parametrize(
+    "channels,size,sampling_rate,bandwidth",
+    [(4, 16, 16, 2), (8, 52, 16, 8), (16, 64, 32, 2), (32, 20, 8, 4 / 3)])
+def test_synthesis_input_fuzz(ref, rng, channels, size, sampling_rate,
+                              bandwidth):
+    torch = ref["torch"]
+    tinp, jinp, variables = _synthesis_input_pair(
+        ref, seed=channels, w_dim=32, channels=channels, size=size,
+        sampling_rate=sampling_rate, bandwidth=bandwidth)
+    w = rng.randn(3, 32).astype(np.float32)
+    got = np.asarray(jinp.apply(variables, jnp.asarray(w)))
+    _assert_synthesis_input_close(torch, tinp, got, w)
+
+
+def test_synthesis_input_init_matches_reference_stats(ref):
+    """Our freq_init must draw from the reference's disc distribution:
+    unit-disc-normalized gaussians scaled by bandwidth (statistical check,
+    different RNG streams)."""
+    from afcm_tpu.nn.stylegan3 import SynthesisInput
+    jinp = SynthesisInput(w_dim=16, channels=512, size=16, sampling_rate=16,
+                          bandwidth=2)
+    variables = jinp.init(jax.random.PRNGKey(3), jnp.zeros((1, 16)))
+    freqs = np.asarray(variables["constants"]["freqs"])
+    radii = np.linalg.norm(freqs, axis=1)
+    assert radii.max() <= 2.0 + 1e-6  # bandwidth-bounded
+    phases = np.asarray(variables["constants"]["phases"])
+    assert -0.5 <= phases.min() and phases.max() <= 0.5
