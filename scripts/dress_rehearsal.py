@@ -66,7 +66,7 @@ model:
 loaders:
   batch_size: {batch}
   slice_num: 4
-  thickness: [4]
+  thickness: [{thickness}]
   raw_internal_path_in: [flair]
   raw_internal_path_out: [t1]
   train:
@@ -195,6 +195,28 @@ def save_init_checkpoint(config_path, root):
     ckpt.save_state(state, run_dir, "init")
 
 
+def assert_offgrid_slice_idx(eval_config_path):
+    """The point of the fractional leg: prove the eval conditioning sits at
+    positions OUTSIDE the training grid before spending chip time on it."""
+    from afcm_tpu.config import default_argument_parser
+    from afcm_tpu.data import get_test_loaders
+
+    cfg = default_argument_parser(["--config-file", eval_config_path])
+    vals = set()
+    for loader in get_test_loaders(cfg):
+        ds = loader.dataset
+        for idx in range(len(ds)):
+            _, sidx, _ = ds.get_item(idx)
+            vals.add(round(float(sidx[0]), 6))
+    train_grid = {0.0, 0.25, 0.5, 0.75}  # thickness {2,4} positions
+    offgrid = sorted(v for v in vals if v not in train_grid)
+    assert offgrid, f"no off-grid slice_idx in eval set (got {sorted(vals)})"
+    expect = {round(1 / 3, 6), round(2 / 3, 6)}
+    assert expect <= vals, f"thirds missing from eval set: {sorted(vals)}"
+    print(f"      eval slice_idx grid {sorted(vals)} — off-grid positions "
+          f"{offgrid} confirmed", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--workdir", default="/tmp/afcm_rehearsal")
@@ -205,6 +227,13 @@ def main():
                     help="tiny geometry for CPU smoke (64^2, small G)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend in every subprocess")
+    ap.add_argument("--fractional", action="store_true",
+                    help="non-integer-SR leg (VERDICT r4 item 5): train at "
+                         "thickness {2,4} (slice_idx on the half/quarter "
+                         "grid), evaluate at thickness 3 — the predictor is "
+                         "conditioned at off-grid thirds it never saw, the "
+                         "paper's arbitrary-factor capability "
+                         "(reference data/cmsr_dataset.py:130-152)")
     args = ap.parse_args()
     if args.cpu:
         global FORCE_CPU
@@ -245,18 +274,30 @@ def main():
     with open(config_path, "w") as f:
         f.write(CONFIG_TMPL.format(root=root, steps=args.steps,
                                    val_freq=max(8, args.steps // 2),
-                                   blur_fade=0.2, res=geo["size"], **{
+                                   blur_fade=0.2, res=geo["size"],
+                                   thickness="2, 4" if args.fractional
+                                   else "4", **{
                                        k: geo[k] for k in
                                        ("z_dim", "channel_base",
                                         "channel_max", "num_layers",
                                         "map_layers", "skip_res", "batch",
                                         "extra_syn", "remat")}))
+    eval_config_path = config_path
+    if args.fractional:
+        # Evaluate at thickness 3: every non-anchor output slice conditions
+        # the generator at slice_idx in {1/3, 2/3} — positions outside the
+        # training grid ({0,.5} U {0,.25,.5,.75}).
+        eval_config_path = os.path.join(root, "rehearsal_eval.yml")
+        with open(eval_config_path, "w") as f:
+            f.write("_BASE_: 'rehearsal.yml'\nloaders:\n  thickness: [3]\n")
+        assert_offgrid_slice_idx(eval_config_path)
 
     # 3. init checkpoint -> evaluate CLI (the pre-training reference point).
     print("[3/6] init checkpoint + evaluate", flush=True)
     save_init_checkpoint(config_path, root)
-    dt_ev0 = run_cli(["-m", "afcm_tpu.evaluate", "--config-file", config_path,
-                      "epoch", "init"], os.path.join(root, "eval_init.log"))
+    dt_ev0 = run_cli(["-m", "afcm_tpu.evaluate", "--config-file",
+                      eval_config_path, "epoch", "init"],
+                     os.path.join(root, "eval_init.log"))
     eval_dir = os.path.join(root, "checkpoints", "rehearsal", "evaluate")
     psnr0, ssim0 = parse_eval(eval_dir)
     os.rename(os.path.join(eval_dir, "evaluate.txt"),
@@ -275,8 +316,9 @@ def main():
                         "best_state.msgpack")
     tag = "best" if os.path.exists(best) else "latest"
     print(f"[5/6] evaluate checkpoint '{tag}'", flush=True)
-    dt_ev1 = run_cli(["-m", "afcm_tpu.evaluate", "--config-file", config_path,
-                      "epoch", tag], os.path.join(root, "eval_best.log"))
+    dt_ev1 = run_cli(["-m", "afcm_tpu.evaluate", "--config-file",
+                      eval_config_path, "epoch", tag],
+                     os.path.join(root, "eval_best.log"))
     psnr1, ssim1 = parse_eval(eval_dir)
 
     # 6. the assertions that make this a regression, not a demo.

@@ -16,6 +16,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from _chip_util import start_watchdog, tiny_probe
 from _trace_util import parse_trace, print_profile
 
 
@@ -24,6 +25,7 @@ def sync(x):
 
 
 def main():
+    tiny_probe()
     impl = sys.argv[1] if len(sys.argv) > 1 else "auto"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     from afcm_tpu.nn import Stylegan3Generator
@@ -49,9 +51,11 @@ def main():
     z = jnp.asarray(rng.randn(batch, 512), jnp.float32)
     c = jnp.asarray(rng.rand(batch, 1), jnp.float32)
     cond = jnp.asarray(rng.randn(batch, 4, 256, 256).clip(-1, 1), jnp.float32)
+    wd = start_watchdog(1500, "forward init+compile")
     variables = jax.jit(gen.init)(jax.random.PRNGKey(0), z, c, cond)
     fwd = jax.jit(lambda v, z, c, x: gen.apply(v, z, c, x))
     sync(fwd(variables, z, c, cond))
+    wd.cancel()
 
     trace_dir = "/tmp/fwd_trace"
     os.system(f"rm -rf {trace_dir}")
