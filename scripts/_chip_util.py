@@ -34,19 +34,37 @@ def start_watchdog(secs, label="chip work"):
     return t
 
 
-def tiny_probe(secs=600):
+def tiny_probe(secs=600, retries=1):
     """Compile+run a trivial jit under its own watchdog.
 
     Cheap (~seconds on a healthy warm tunnel, but measured up to ~220 s on
     a cold session, round 5 — hence the generous default) and fails fast
     when the tunnel is already wedged, before a script sinks minutes into
     a big compile it can never finish.
+
+    Retries once on JaxRuntimeError: a FAILED_PRECONDITION right after
+    another chip process exits is transient (observed round 5 — the same
+    probe passed seconds later); a wedge, by contrast, hangs rather than
+    erroring, which the watchdog handles.
     """
     t = start_watchdog(secs, "tiny jit probe")
+    import time
+
     import jax
     import jax.numpy as jnp
     import numpy as np
-    x = jnp.ones((128, 128))
-    val = float(np.asarray(jnp.sum(jax.jit(lambda a: a @ a)(x))))
-    t.cancel()
-    return val
+    try:
+        for attempt in range(retries + 1):
+            try:
+                x = jnp.ones((128, 128))
+                val = float(np.asarray(jnp.sum(jax.jit(lambda a: a @ a)(x))))
+                return val
+            except jax.errors.JaxRuntimeError as exc:
+                if attempt == retries:
+                    raise
+                print(f"tiny probe attempt {attempt + 1} failed "
+                      f"({exc!r}); retrying in 30 s", file=sys.stderr,
+                      flush=True)
+                time.sleep(30)
+    finally:
+        t.cancel()

@@ -23,6 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _chip_util import start_watchdog, tiny_probe  # noqa: E402
+
 
 class _Args:
     def __init__(self, config_file, opts):
@@ -32,8 +35,9 @@ class _Args:
 
 
 def main():
+    tiny_probe()
     n_subjects = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    depth = sys.argv[2] if len(sys.argv) > 2 else "2"
+    depth = sys.argv[2] if len(sys.argv) > 2 else "4"  # shipped default
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     work = "/tmp/bench_evaluate_e2e"
     os.makedirs(work, exist_ok=True)
@@ -79,8 +83,10 @@ def main():
                         size=256, depth=64)
     warm_opts = list(opts)
     warm_opts[1] = f"['{one_dir}/test']"
+    wd = start_watchdog(1500, "evaluate-CLI warm subject (jit compile)")
     t0 = time.time()
     eval_main(["--config-file", cfg_file] + warm_opts)
+    wd.cancel()
     print(f"warm (compile) subject: {time.time() - t0:.1f} s", flush=True)
 
     slices = n_subjects * 64

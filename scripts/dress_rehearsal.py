@@ -98,6 +98,7 @@ scheduler:
 loss:
   blur_init_sigma: 2.0
   blur_fade_kimg: {blur_fade}
+  r1_interval: {r1_interval}
 trainer:
   print_freq: 20
   save_latest_freq: {val_freq}
@@ -227,6 +228,11 @@ def main():
                     help="tiny geometry for CPU smoke (64^2, small G)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend in every subprocess")
+    ap.add_argument("--r1-interval", type=int, default=1,
+                    help="lazy-R1 interval (1 = reference-faithful "
+                         "every-step R1; 16 = the cmsr_fast.yml preset) — "
+                         "for the fast-preset dynamics rehearsal "
+                         "(VERDICT r4 item 3)")
     ap.add_argument("--fractional", action="store_true",
                     help="non-integer-SR leg (VERDICT r4 item 5): train at "
                          "thickness {2,4} (slice_idx on the half/quarter "
@@ -275,6 +281,7 @@ def main():
         f.write(CONFIG_TMPL.format(root=root, steps=args.steps,
                                    val_freq=max(8, args.steps // 2),
                                    blur_fade=0.2, res=geo["size"],
+                                   r1_interval=args.r1_interval,
                                    thickness="2, 4" if args.fractional
                                    else "4", **{
                                        k: geo[k] for k in
