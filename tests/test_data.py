@@ -112,6 +112,51 @@ def test_window_matches_reference_dataset(demo_root):
                                    ref_item["slice_idx"], atol=1e-7)
 
 
+def test_eval_at_unseen_thickness_offgrid_slice_idx(demo_root):
+    """The paper's non-integer-SR mechanism (reference cmsr_dataset.py:
+    130-152): the thickness list is an eval-time free parameter, so a model
+    trained at thickness {2,4} (slice_idx on the half/quarter grid) can be
+    evaluated at thickness 3 — conditioning at off-grid thirds it never
+    saw. Pins the test-phase grid and the window anchors, oracle-checked
+    (scripts/dress_rehearsal.py --fractional runs the same thing e2e)."""
+    cfg = _loaders_config(demo_root, thickness=(3,))
+    ours = CmsrDataset(cfg, phase="test").datasets[0]
+    vals = {round(float(ours.get_item(i)[1][0]), 6) for i in range(len(ours))}
+    assert vals == {0.0, round(1 / 3, 6), round(2 / 3, 6)}
+    train_grid = {0.0, 0.25, 0.5, 0.75}
+    assert sorted(v for v in vals if v not in train_grid) == [
+        round(1 / 3, 6), round(2 / 3, 6)]
+    # window anchor: idx=7, t=3 -> idx_A=6, window [3, 6, 9, 12], pos 1/3
+    a, sidx, _ = ours.get_item(7)
+    assert sidx[0] == pytest.approx(1 / 3)
+    vol = ours.raw["flair"].astype(np.float32)
+    norm = lambda v: np.clip(2 * (v / 255.0) - 1, -1, 1)
+    for ch, zidx in enumerate([3, 6, 9, 12]):
+        np.testing.assert_allclose(a[ch], norm(vol[zidx]), atol=1e-6)
+
+    # oracle: identical slice_idx stream vs the reference dataset at t=3
+    from tests._torch_ref import load_reference_ops
+    load_reference_ops()
+    from data.cmsr_dataset import StandardHDF5Dataset as RefDS
+
+    class _Cfg(dict):
+        __getattr__ = dict.__getitem__
+
+    h5file = os.path.join(demo_root, "test",
+                          os.listdir(os.path.join(demo_root, "test"))[0])
+    ref_ds = RefDS(file_path=h5file, phase="test",
+                   slice_builder_config=_Cfg(cfg["test"]["slice_builder"]),
+                   transformer_config=cfg["test"]["transformer"],
+                   raw_internal_path_in=["flair"],
+                   raw_internal_path_out=["t1"], thickness=[3], slice_num=4,
+                   global_normalization=None)
+    for idx in [0, 1, 7, len(ours) - 1]:
+        ref_a, ref_sidx, _ = ref_ds[idx]
+        our_a, our_sidx, _ = ours.get_item(idx)
+        np.testing.assert_allclose(our_sidx, np.asarray(ref_sidx), atol=1e-7)
+        np.testing.assert_allclose(our_a, ref_a.numpy(), atol=1e-6)
+
+
 def test_train_loader_batches(demo_root):
     ds = CmsrDataset(_loaders_config(demo_root), phase="train")
     loader = TrainLoader(ds, batch_size=4, shuffle=True, seed=0)
