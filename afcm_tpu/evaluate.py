@@ -153,7 +153,13 @@ def prepare_mesh_state(cfg, state):
     mesh = make_mesh_for_batch(tuple(cfg.tpu.mesh_shape),
                                cfg.loaders.batch_size)
     if mesh.devices.size <= 1:
-        return None, state
+        # checkpoint.load_state restores HOST numpy leaves; a jitted
+        # forward that closes over them re-uploads every parameter on
+        # every batch dispatch. Measured on the axon v5e (round 5,
+        # scripts/bench_evaluate_e2e.py): 4.3 -> ~70 slices/s e2e from
+        # committing the state once. The multi-device branches below
+        # already commit via shard_params/replicate_state.
+        return None, jax.device_put(state)
     if mesh.shape["model"] > 1 and hasattr(state, "params_G_ema"):
         return mesh, shard_params(state, mesh)
     return mesh, replicate_state(state, mesh)

@@ -74,28 +74,73 @@ def main():
         os.makedirs(run_dir, exist_ok=True)
         ckpt.save_state(state, run_dir, "latest")
 
-    # Warm one subject (jit compile) outside the timed window by running
-    # the CLI twice: first over 1 subject, then the timed full run.
-    from afcm_tpu.evaluate import main as eval_main
-    one_dir = os.path.join(work, "demo_warm")
-    if not os.path.isdir(os.path.join(one_dir, "test")):
-        write_demo_tree(one_dir, n_train=1, n_val=1, n_test=1,
-                        size=256, depth=64)
-    warm_opts = list(opts)
-    warm_opts[1] = f"['{one_dir}/test']"
-    wd = start_watchdog(1500, "evaluate-CLI warm subject (jit compile)")
+    # One eval_main over N subjects, timestamping each subject as the
+    # pipelined generator yields it back to evaluate's scoring loop. The
+    # first subject pays the jit compile (and the pipeline fill), so the
+    # steady-state e2e rate is the marginal rate over subjects 2..N —
+    # a separate warm CLI call would NOT warm anything (each eval_main
+    # builds a fresh jit closure, so a second call recompiles).
+    from afcm_tpu import evaluate as eval_mod
+    from afcm_tpu.infer import predictor as pred_mod
+
+    stamps = []
+    orig_run = pred_mod.StandardPredictor.run_pipelined
+
+    def timed_run(self, loaders):
+        snap = dict(self.timings)
+        for out in orig_run(self, loaders):
+            yield out
+            # after evaluate's loop body ran for this subject (scoring +
+            # queued writes) control returns here: stamp the full cost
+            stamps.append(time.time())
+            phases = " ".join(f"{k}={self.timings[k] - snap[k]:.2f}"
+                              for k in self.timings)
+            print(f"    [predictor phases this subject: {phases}]",
+                  flush=True)
+            snap = dict(self.timings)
+
+    pred_mod.StandardPredictor.run_pipelined = timed_run
+
+    # Attribute evaluate.py's own per-subject host work too.
+    host_t = {"find_target": 0.0, "score": 0.0}
+
+    def timed(fn, key):
+        def wrap(*a, **k):
+            t0 = time.time()
+            try:
+                return fn(*a, **k)
+            finally:
+                host_t[key] += time.time() - t0
+        return wrap
+
+    eval_mod.find_target_volume = timed(eval_mod.find_target_volume,
+                                        "find_target")
+    eval_mod.evaluate_3D = timed(eval_mod.evaluate_3D, "score")
+    eval_mod.evaluate_slice = timed(eval_mod.evaluate_slice, "score")
+
+    wd = start_watchdog(2400, "evaluate-CLI run (first subject pays jit)")
     t0 = time.time()
-    eval_main(["--config-file", cfg_file] + warm_opts)
+    eval_mod.main(["--config-file", cfg_file] + opts)
     wd.cancel()
-    print(f"warm (compile) subject: {time.time() - t0:.1f} s", flush=True)
+    dt = time.time() - t0
+    stamps.insert(0, t0)
 
     slices = n_subjects * 64
-    t0 = time.time()
-    eval_main(["--config-file", cfg_file] + opts)
-    dt = time.time() - t0
-    print(f"evaluate CLI: {n_subjects} subjects x 64 slices in {dt:.2f} s = "
-          f"{slices / dt:.1f} slices/s end-to-end "
-          f"(stitch + NIfTI + PSNR/SSIM scoring included, depth={depth})")
+    per_subj = [b - a for a, b in zip(stamps, stamps[1:])]
+    print("per-subject seconds (first includes compile+fill): "
+          + ", ".join(f"{s:.2f}" for s in per_subj), flush=True)
+    steady = per_subj[1:]
+    if steady:
+        rate = 64 * len(steady) / sum(steady)
+        print(f"evaluate CLI steady-state: {len(steady)} subjects x 64 "
+              f"slices in {sum(steady):.2f} s = {rate:.1f} slices/s "
+              f"end-to-end (stitch + NIfTI + PSNR/SSIM scoring included, "
+              f"depth={depth})")
+    print(f"evaluate CLI total: {n_subjects} subjects in {dt:.2f} s "
+          f"({slices / dt:.1f} slices/s incl. the one-time jit compile)")
+    print(f"evaluate-side host work, whole run: "
+          f"find_target={host_t['find_target']:.2f}s "
+          f"score={host_t['score']:.2f}s")
 
 
 if __name__ == "__main__":

@@ -187,6 +187,23 @@ def test_run_pipelined_matches_serial(workdir, tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_evaluate_state_device_committed(cfg, workdir):
+    """Regression (round 5): checkpoint.load_state restores HOST numpy
+    leaves; if prepare_mesh_state hands them to the jitted forward
+    uncommitted, every batch dispatch re-uploads all parameters (measured
+    4.3 vs ~70 slices/s e2e on the v5e tunnel, bench_evaluate_e2e.py)."""
+    import jax
+    from afcm_tpu.evaluate import init_and_load_state, prepare_mesh_state
+    from afcm_tpu.models import build_gan_model
+    model = build_gan_model(cfg)
+    state = init_and_load_state(cfg, model)
+    # the restored tree really is host numpy (the hazard this test pins)
+    assert isinstance(jax.tree.leaves(state)[0], np.ndarray)
+    _, placed = prepare_mesh_state(cfg, state)
+    for leaf in jax.tree.leaves(placed):
+        assert isinstance(leaf, jax.Array)
+
+
 def test_resume_restores_state(cfg, workdir):
     from afcm_tpu.models import build_gan_model
     from afcm_tpu.utils import checkpoint as ckpt
