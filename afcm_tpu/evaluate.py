@@ -156,7 +156,7 @@ def prepare_mesh_state(cfg, state):
         # checkpoint.load_state restores HOST numpy leaves; a jitted
         # forward that closes over them re-uploads every parameter on
         # every batch dispatch. Measured on the axon v5e (round 5,
-        # scripts/bench_evaluate_e2e.py): 4.3 -> ~70 slices/s e2e from
+        # scripts/bench_evaluate_e2e.py): 4.3 -> 57.1 slices/s e2e from
         # committing the state once. The multi-device branches below
         # already commit via shard_params/replicate_state.
         return None, jax.device_put(state)
