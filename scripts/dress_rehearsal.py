@@ -32,7 +32,7 @@ sys.path.insert(0, REPO)
 import numpy as np
 
 
-CONFIG_TMPL = """\
+MODEL_BLOCK_SG3 = """\
 model:
   name: stylegan3
   combine_ab: True
@@ -54,6 +54,34 @@ model:
       lrelu_upsampling: 2
     mapping_kwargs:
       num_layers: {map_layers}
+"""
+
+# The second generator family, exercised e2e by --family comodgan. The
+# reference's CoModGAN ships num_fp16_res=0 (generator.py:38) — a fully
+# fp32 G — so no tpu.compute_dtype plumbing here is reference-faithful.
+MODEL_BLOCK_COMOD = """\
+model:
+  name: comodgan
+  combine_ab: True
+  G:
+    netG: 'comodgan'
+    z_dim: {z_dim}
+    w_dim: {z_dim}
+    c_dim: 1
+    img_resolution: {res}
+    img_channels_in: 4
+    img_channels_out: 1
+    synthesis_kwargs:
+      channel_base: {channel_base}
+      channel_max: {channel_max}
+      skip_resolution: {skip_res}
+      conv_clamp: 256
+    mapping_kwargs:
+      num_layers: {map_layers}
+"""
+
+CONFIG_TMPL = """\
+{model_block}\
   D:
     netD: 'comodgan'
     img_channels: 5
@@ -240,6 +268,12 @@ def main():
                          "conditioned at off-grid thirds it never saw, the "
                          "paper's arbitrary-factor capability "
                          "(reference data/cmsr_dataset.py:130-152)")
+    ap.add_argument("--family", choices=("stylegan3", "comodgan"),
+                    default="stylegan3",
+                    help="generator family: the alias-free SG3 default or "
+                         "the CoModGAN branch (reference "
+                         "models/networks/CoModGAN/generator.py) — same "
+                         "CLIs, same workflow")
     args = ap.parse_args()
     if args.cpu:
         global FORCE_CPU
@@ -278,17 +312,23 @@ def main():
 
     config_path = os.path.join(root, "rehearsal.yml")
     with open(config_path, "w") as f:
+        block_tmpl = (MODEL_BLOCK_COMOD if args.family == "comodgan"
+                      else MODEL_BLOCK_SG3)
+        model_block = block_tmpl.format(res=geo["size"], **{
+            k: geo[k] for k in ("z_dim", "channel_base", "channel_max",
+                                "num_layers", "map_layers", "skip_res",
+                                "extra_syn")
+            if "{" + k + "}" in block_tmpl})
         f.write(CONFIG_TMPL.format(root=root, steps=args.steps,
                                    val_freq=max(8, args.steps // 2),
                                    blur_fade=0.2, res=geo["size"],
                                    r1_interval=args.r1_interval,
+                                   model_block=model_block,
                                    thickness="2, 4" if args.fractional
                                    else "4", **{
                                        k: geo[k] for k in
-                                       ("z_dim", "channel_base",
-                                        "channel_max", "num_layers",
-                                        "map_layers", "skip_res", "batch",
-                                        "extra_syn", "remat")}))
+                                       ("channel_base", "channel_max",
+                                        "batch", "remat")}))
     eval_config_path = config_path
     if args.fractional:
         # Evaluate at thickness 3: every non-anchor output slice conditions
