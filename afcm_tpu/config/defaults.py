@@ -196,6 +196,13 @@ def get_default_cfg() -> CfgNode:
     # each slot holds one input+output batch (~8 MB at batch 16, 256^2).
     # 0 disables pipelining (strictly serial batches).
     c.tpu.pipeline_depth = 4
+    # Test-time z protocol: "per-batch" matches the reference (a fresh
+    # gen_z for every test batch, comodgan_model.py:101-108); "fixed"
+    # holds ONE z for the whole evaluation run, so a stitched volume's
+    # slices share a style — slice-consistent serving output. Matters
+    # most for the CoModGAN family, where the global co-modulation makes
+    # z dominate early in training (docs/experiments.md round 5).
+    c.tpu.eval_z = "per-batch"          # per-batch | fixed
     return c
 
 

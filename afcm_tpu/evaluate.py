@@ -178,13 +178,16 @@ def ensure_volumetric(cfg, driver: str):
 
 
 def make_forward_fn(model, state, seed: int = 0, mesh=None, norm_range=None,
-                    fetch_dtype=None):
+                    fetch_dtype=None, eval_z: str = "per-batch"):
     """Jitted (A, slice_idx) -> fake_B closure over the EMA generator.
 
     Draws a fresh z key per batch (fold_in on a call counter), matching the
     reference protocol which samples new gen_z for every test batch
     (reference: models/comodgan_model.py:101-108). The seed is fixed so a
     given evaluation run is still reproducible end to end.
+    ``eval_z="fixed"`` (config ``tpu.eval_z``) instead holds one z for the
+    whole run so a stitched volume's slices share a style — the
+    slice-consistent serving mode (see config/defaults.py).
 
     With a multi-device ``mesh``, patch batches shard over the 'data' axis
     (the caller shards/replicates the state) so the predictor serves from
@@ -228,9 +231,12 @@ def make_forward_fn(model, state, seed: int = 0, mesh=None, norm_range=None,
             def eval_u8(state, a_u8, s, sub):
                 return _eval_u8(state, a_u8, s, sub).astype(out_dt)
 
+    assert eval_z in ("per-batch", "fixed"), eval_z
+
     def forward(a_batch, slice_idx):
         sub = jax.random.fold_in(key, counter[0])
-        counter[0] += 1
+        if eval_z == "per-batch":
+            counter[0] += 1
         a = jnp.asarray(a_batch)
         s = jnp.asarray(slice_idx)
         if sharding is not None:
@@ -284,7 +290,8 @@ def main(argv=None):
     predictor_cls = get_predictor(cfg.predictor.name)
     predictor = predictor_cls(
         make_forward_fn(model, state, mesh=mesh, norm_range=norm_range,
-                        fetch_dtype=getattr(cfg.tpu, "fetch_dtype", None)),
+                        fetch_dtype=getattr(cfg.tpu, "fetch_dtype", None),
+                        eval_z=getattr(cfg.tpu, "eval_z", "per-batch")),
         out_path, cfg, patch_halo=cfg.predictor.patch_halo)
 
     c_psnr, c_ssim, c_psnr_slice, c_ssim_slice = [], [], [], []

@@ -56,7 +56,8 @@ def main(argv=None):
                                          init_and_load_state(cfg, model))
         forward = make_forward_fn(
             model, state, mesh=mesh, norm_range=pipeline_norm_range(cfg),
-            fetch_dtype=getattr(cfg.tpu, "fetch_dtype", None))
+            fetch_dtype=getattr(cfg.tpu, "fetch_dtype", None),
+            eval_z=getattr(cfg.tpu, "eval_z", "per-batch"))
 
     predictor = get_predictor(cfg.predictor.name)(
         forward, out_dir, cfg, patch_halo=cfg.predictor.patch_halo)

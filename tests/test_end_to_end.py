@@ -204,6 +204,23 @@ def test_evaluate_state_device_committed(cfg, workdir):
         assert isinstance(leaf, jax.Array)
 
 
+def test_eval_z_protocols(cfg, workdir):
+    """tpu.eval_z: "per-batch" (reference protocol — fresh gen_z each test
+    batch, comodgan_model.py:101-108) vs "fixed" (one z for the run:
+    slice-consistent stitched volumes, the round-5 serving knob)."""
+    from afcm_tpu.evaluate import init_and_load_state, make_forward_fn
+    from afcm_tpu.models import build_gan_model
+    model = build_gan_model(cfg)
+    state = init_and_load_state(cfg, model)
+    a = np.random.RandomState(0).rand(2, 4, 64, 64).astype(np.float32)
+    s = np.zeros((2, 1), np.float32)
+    fixed = make_forward_fn(model, state, eval_z="fixed")
+    assert np.array_equal(np.asarray(fixed(a, s)), np.asarray(fixed(a, s)))
+    per_batch = make_forward_fn(model, state)  # the default
+    assert not np.array_equal(np.asarray(per_batch(a, s)),
+                              np.asarray(per_batch(a, s)))
+
+
 def test_resume_restores_state(cfg, workdir):
     from afcm_tpu.models import build_gan_model
     from afcm_tpu.utils import checkpoint as ckpt
