@@ -68,10 +68,11 @@ def _emit(error=None):
         detail["error"] = error
         if not _RESULTS:
             detail["last_measured"] = {
-                "bfloat16_b16": 73.76, "float32_b16": 61.14,
-                "train_ms_per_step": 760.5, "train_img_per_sec": 21.04,
-                "when": "2026-08-20 round-5 bench.py, median-of-3 spread "
-                        "73.7-74.0 (BASELINE.md measured table)"}
+                "bfloat16_b16": 74.57, "float32_b16": 61.76,
+                "train_ms_per_step": 761.2, "train_img_per_sec": 21.02,
+                "when": "2026-08-21 round-5 final bench.py, median-of-3 "
+                        "spread 74.5-74.6, drift -0.07% (BASELINE.md "
+                        "measured table)"}
     # Falsifiability fields (VERDICT r3 item 5): forward MFU against the
     # 197 TF/s v5e bf16 peak, and achieved HBM bandwidth (XLA cost-analysis
     # bytes / wall time) against the MEASURED practical streaming ceiling
